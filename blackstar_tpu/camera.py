@@ -1,0 +1,69 @@
+"""Vectorized pinhole camera / sight-ray generation.
+
+Reference semantics: ``generateRay`` (Raytracer.hs:40-51) builds the 3×3
+rotation of `linear`'s ``lookAt`` view matrix, transposes it, and applies it
+to the direction ``(fov·(x/w − 0.5), fov·(0.5 − y/h)·h/w, −1)``, normalised.
+Pixel coordinates are the raw integer indices (no half-pixel centring), which
+we reproduce exactly.
+
+TPU-first shape: one fused batched computation for the whole pixel grid — a
+(H·W, 3) direction tensor from two broadcasted iotas and a single 3×3
+rotation, instead of a per-pixel camera matrix like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from blackstar_tpu.config import CameraParams
+
+
+def _normalize(v: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+
+
+def look_at_rotation(position: jnp.ndarray, look_at: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
+    """Rows (xa, ya, −za) of the `linear` ``lookAt`` matrix (Raytracer.hs:46).
+
+    za = normalize(center − eye); xa = normalize(za × up); ya = xa × za.
+    Returns the 3×3 rotation whose rows are (xa, ya, −za).
+    """
+    za = _normalize(look_at - position)
+    xa = _normalize(jnp.cross(za, up))
+    ya = jnp.cross(xa, za)
+    return jnp.stack([xa, ya, -za], axis=0)
+
+
+def generate_rays(
+    cam: CameraParams, width: int, height: int, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Initial photon states for every pixel.
+
+    Returns ``(pos, vel)`` with shapes ((3,), (H·W, 3)): the shared camera
+    position and unit ray directions in row-major (y, x) pixel order —
+    matching the reference's per-pixel ``generateRay`` (Raytracer.hs:40-51)
+    evaluated at integer pixel coordinates.
+    """
+    dt = jnp.dtype(dtype)
+    pos = cam.position.astype(dt)
+    fov = cam.fov.astype(dt)
+    rot = look_at_rotation(cam.position, cam.look_at, cam.up).astype(dt)
+
+    w = jnp.asarray(width, dt)
+    h = jnp.asarray(height, dt)
+    xs = jnp.arange(width, dtype=dt)
+    ys = jnp.arange(height, dtype=dt)
+    cx = fov * (xs / w - 0.5)  # (W,)
+    cy = fov * (0.5 - ys / h) * h / w  # (H,)
+
+    # vel = normalize(transpose(rot) @ (cx, cy, -1)) = cx·xa + cy·ya + za
+    xa, ya, nza = rot[0], rot[1], rot[2]  # nza = -za
+    dirs = (
+        cx[None, :, None] * xa[None, None, :]
+        + cy[:, None, None] * ya[None, None, :]
+        - nza[None, None, :]
+    )  # (H, W, 3)
+    vel = _normalize(dirs).reshape(height * width, 3)
+    return pos, vel

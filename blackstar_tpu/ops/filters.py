@@ -1,0 +1,66 @@
+"""Image post-processing: separable box blur, bloom, supersampling.
+
+Reference semantics (``/root/reference/src/ImageFilters.hs``):
+
+* ``boxBlur r passes``: per pass, a horizontal then a vertical sliding-window
+  box filter of width ``2r+1`` normalised by ``1/(2r+1)``, with out-of-bounds
+  pixels reading as black (zero padding) — ImageFilters.hs:28-78.
+* ``bloom strength divider``: 3-pass box blur with ``r = width // divider``,
+  then ``out = img + strength·blurred`` — ImageFilters.hs:80-86.
+* ``supersample``: 2×2 box average from a double-resolution render —
+  ImageFilters.hs:88-97.
+
+TPU-first: the reference's O(1)-per-pixel mutable running sum becomes an
+exclusive prefix sum (``cumsum``) + two gathers per axis — identical output,
+fully fused by XLA, no serial dependence across rows.  All ops are
+differentiable (bloom strength is a scene parameter in the param pytree).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _box_blur_axis(img: jnp.ndarray, r: int, axis: int) -> jnp.ndarray:
+    """Zero-padded 1-D box filter of width ``2r+1`` along ``axis``."""
+    n = img.shape[axis]
+    dt = img.dtype
+    # Exclusive cumsum: c[k] = sum(img[:k]); windowed sum over
+    # [x-r, x+r] ∩ [0,n) = c[clip(x+r+1)] - c[clip(x-r)].
+    c = jnp.cumsum(img, axis=axis, dtype=dt)
+    zero_shape = list(img.shape)
+    zero_shape[axis] = 1
+    c = jnp.concatenate([jnp.zeros(zero_shape, dt), c], axis=axis)
+    idx = jnp.arange(n)
+    hi = jnp.clip(idx + r + 1, 0, n)
+    lo = jnp.clip(idx - r, 0, n)
+    win = jnp.take(c, hi, axis=axis) - jnp.take(c, lo, axis=axis)
+    return win * (1.0 / (2 * r + 1))
+
+
+def box_blur(img: jnp.ndarray, r: int, passes: int = 3) -> jnp.ndarray:
+    """Separable multi-pass box blur of an (H, W, C) image.
+
+    Each pass blurs horizontally then vertically (ImageFilters.hs:70-75);
+    3 passes approximate a Gaussian.
+    """
+    if r <= 0:
+        return img
+    for _ in range(passes):
+        img = _box_blur_axis(img, r, axis=1)  # horizontal
+        img = _box_blur_axis(img, r, axis=0)  # vertical
+    return img
+
+
+def bloom(img: jnp.ndarray, strength, divider: int) -> jnp.ndarray:
+    """``img + strength · boxBlur(width//divider, 3 passes)`` (ImageFilters.hs:80-86)."""
+    w = img.shape[1]
+    blurred = box_blur(img, w // divider, passes=3)
+    return img + jnp.asarray(strength, img.dtype) * blurred
+
+
+def supersample(img: jnp.ndarray) -> jnp.ndarray:
+    """2×2 box-average downsample of an (2H, 2W, C) image (ImageFilters.hs:88-97)."""
+    h2, w2, c = img.shape
+    h, w = h2 // 2, w2 // 2
+    return img[: 2 * h, : 2 * w].reshape(h, 2, w, 2, c).mean(axis=(1, 3))

@@ -1,0 +1,137 @@
+"""Top-level rendering pipeline.
+
+Mirrors the reference flow (Raytracer.hs:53-75 + app/Main.hs:105-123):
+
+    rays = camera grid              (generateRay,   Raytracer.hs:40-51)
+    march to termination            (colorize/rk4,  Raytracer.hs:69-134)
+    celestial-sphere star shading   (starLookup,    StarMap.hs:93-115)
+    composite bottom layer          (blend,         Raytracer.hs:34-37)
+    supersample (optional)          (ImageFilters.hs:88-97)
+    bloom (optional, caller/CLI)    (ImageFilters.hs:80-86)
+
+TPU-first: the whole pipeline is one jittable function of a differentiable
+``SceneParams`` pytree and a hashable ``StaticConfig``; star shading is a
+batched bucketed gather over the escaped rays instead of a per-ray k-d query.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from blackstar_tpu.camera import generate_rays
+from blackstar_tpu.config import Config, SceneParams, StaticConfig
+from blackstar_tpu.geodesic import ACTIVE, ESCAPED, march
+from blackstar_tpu.ops.filters import bloom, supersample
+
+
+class RenderStats(NamedTuple):
+    """Structured per-render observability (survey §5 'metrics' upgrade)."""
+
+    steps: jnp.ndarray  # () int32 — integration steps executed
+    escaped_frac: jnp.ndarray  # () fraction of rays that escaped
+    horizon_frac: jnp.ndarray  # () fraction captured by the horizon
+    truncated_frac: jnp.ndarray  # () fraction still active at the step cap
+
+
+def safe_distance(params: SceneParams, dtype) -> jnp.ndarray:
+    """``max(50², 2·|camPos|²)`` (Raytracer.hs:59-60), differentiable."""
+    p = params.camera.position.astype(dtype)
+    return jnp.maximum(jnp.asarray(2500.0, dtype), 2.0 * jnp.dot(p, p))
+
+
+def render(
+    params: SceneParams,
+    static: StaticConfig,
+    star_grid=None,
+    *,
+    differentiable: bool = False,
+    with_stats: bool = False,
+):
+    """Render the linear-RGB image (H, W, 3) — before bloom, like
+    ``Raytracer.render`` (bloom is applied by the driver, app/Main.hs:113-118).
+    """
+    dt = static.jdtype
+    rw, rh = static.render_width, static.render_height
+    pos0, vel0 = generate_rays(params.camera, rw, rh, dtype=dt)
+
+    res = march(
+        pos0,
+        vel0,
+        params,
+        static,
+        safe_distance(params, dt),
+        differentiable=differentiable,
+    )
+
+    escaped = res.status == ESCAPED
+    if star_grid is not None:
+        star_rgb = star_grid.lookup(
+            res.vel,
+            intensity=params.stars.intensity.astype(dt),
+            saturation=params.stars.saturation.astype(dt),
+            active=escaped,
+        )
+        bottom = jnp.where(escaped[:, None], star_rgb, jnp.zeros((), dt))
+    else:
+        bottom = jnp.zeros((vel0.shape[0], 3), dt)
+
+    # Bottom layer: stars (alpha 1) if escaped, black otherwise — including
+    # rays truncated at the step cap (Raytracer.hs:88-95).
+    acc = res.acc_rgba
+    rgb = acc[:, :3] + bottom * (1.0 - acc[:, 3:4])
+    img = rgb.reshape(rh, rw, 3)
+
+    if static.supersampling:
+        img = supersample(img)
+
+    if with_stats:
+        n = res.status.shape[0]
+        stats = RenderStats(
+            steps=res.steps,
+            escaped_frac=jnp.mean((res.status == ESCAPED).astype(jnp.float32)),
+            horizon_frac=jnp.mean((res.status == 2).astype(jnp.float32)),
+            truncated_frac=jnp.mean((res.status == ACTIVE).astype(jnp.float32)),
+        )
+        return img, stats
+    return img
+
+
+def render_rgb(
+    params: SceneParams,
+    static: StaticConfig,
+    star_grid=None,
+    *,
+    differentiable: bool = False,
+):
+    """Full pipeline including bloom (the CLI flow, app/Main.hs:105-123).
+
+    The reference CLI skips the blur entirely when bloomStrength == 0
+    (app/Main.hs:113-118); callers that know the strength statically should
+    call ``render`` instead to avoid paying for the blur (``render_image``
+    does this automatically).
+    """
+    img = render(params, static, star_grid, differentiable=differentiable)
+    return bloom(img, params.bloom_strength.astype(img.dtype), static.bloom_divider)
+
+
+def render_image(cfg: Config, star_grid=None, *, preview: bool = False, jit: bool = True):
+    """Convenience: Config -> numpy linear RGB image (bloom included when
+    the scene enables it). Used by the CLI and tests."""
+    import numpy as np
+
+    base = cfg
+    if preview:
+        from blackstar_tpu.config import apply_preview
+
+        base = apply_preview(cfg)
+    params = base.params()
+    static = base.static()
+    fn = render if base.scene.bloom_strength == 0.0 else render_rgb
+    if jit:
+        fn = jax.jit(fn, static_argnums=(1,))
+    img = fn(params, static, star_grid)
+    return np.asarray(jax.device_get(img))

@@ -1,0 +1,53 @@
+"""Post-processing filter tests vs naive oracle implementations."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from blackstar_tpu.ops.filters import bloom, box_blur, supersample
+from tests import oracle
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).uniform(0, 1.3, (h, w, 3))
+
+
+def test_box_blur_matches_naive():
+    img = _img(14, 22)
+    got = np.asarray(box_blur(jnp.asarray(img), r=3, passes=3))
+    want = oracle.box_blur(img, 3, 3)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_box_blur_single_pass_zero_padding():
+    """Out-of-bounds reads are black (ImageFilters.hs:42-46): edge pixels
+    average in zeros, so a constant image dims at the borders."""
+    img = np.ones((9, 9, 3))
+    got = np.asarray(box_blur(jnp.asarray(img), r=2, passes=1))
+    assert np.isclose(got[4, 4, 0], 1.0)
+    np.testing.assert_allclose(got[4, 0, 0], 3 / 5, atol=1e-12)  # 2 zeros in window
+    np.testing.assert_allclose(got[0, 0, 0], (3 / 5) ** 2, atol=1e-12)
+
+
+def test_box_blur_r0_identity():
+    img = _img(5, 5)
+    np.testing.assert_allclose(np.asarray(box_blur(jnp.asarray(img), 0)), img)
+
+
+def test_bloom_matches_naive():
+    img = _img(10, 75, seed=1)  # 75 // 25 = 3 -> blur radius 3
+    got = np.asarray(bloom(jnp.asarray(img), 0.4, 25))
+    want = oracle.bloom(img, 0.4, 25)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_supersample_matches_naive():
+    img = _img(8, 12, seed=2)
+    got = np.asarray(supersample(jnp.asarray(img)))
+    want = oracle.supersample(img)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    assert got.shape == (4, 6, 3)
+
+
+def test_supersample_constant():
+    img = np.full((6, 6, 3), 0.25)
+    np.testing.assert_allclose(np.asarray(supersample(jnp.asarray(img))), 0.25)

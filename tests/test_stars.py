@@ -1,0 +1,175 @@
+"""Star subsystem tests: PPM parsing, grid build, lookup vs brute force."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from blackstar_tpu.stars.catalog import (
+    Catalog,
+    encode_ppm,
+    parse_ppm,
+    ra_dec_to_cartesian,
+    spectral_color,
+)
+from blackstar_tpu.stars.grid import (
+    QUERY_RADIUS,
+    build_star_grid,
+    load_star_grid,
+    save_star_grid,
+)
+from tests import oracle
+
+
+def _random_catalog(n, seed=0, clusters=False):
+    rng = np.random.default_rng(seed)
+    if clusters and n >= 8:
+        # Half the stars clumped tightly around a few centres (worst case for
+        # bucket occupancy), half uniform.
+        k = n // 2
+        centers = rng.normal(size=(4, 3))
+        centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+        pts = centers[rng.integers(0, 4, k)] + 5e-4 * rng.normal(size=(k, 3))
+        rest = rng.normal(size=(n - k, 3))
+        v = np.concatenate([pts, rest])
+    else:
+        v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    mags = rng.integers(400, 1400, n)
+    chars = rng.choice(list("OBAFGKM?"), n)
+    hue = np.array([spectral_color(c)[0] for c in chars])
+    sat = np.array([spectral_color(c)[1] for c in chars])
+    return Catalog(pos=v, mag=mags.astype(np.int32), hue=hue, sat=sat)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(1)
+    n = 64
+    ra = rng.uniform(0, 2 * math.pi, n)
+    dec = rng.uniform(-math.pi / 2, math.pi / 2, n)
+    chars = rng.choice(list("OBAFGKM"), n)
+    mag = rng.integers(-100, 1500, n).astype(np.int16)
+    data = encode_ppm(ra, dec, chars, mag)
+    cat = parse_ppm(data)
+    assert cat.n_stars == n
+    np.testing.assert_allclose(cat.pos, ra_dec_to_cartesian(ra, dec), atol=1e-14)
+    np.testing.assert_array_equal(cat.mag, mag.astype(np.int32))
+    for i, c in enumerate(chars):
+        assert (cat.hue[i], cat.sat[i]) == spectral_color(c)
+
+
+def test_unit_positions():
+    cat = _random_catalog(100)
+    np.testing.assert_allclose(np.linalg.norm(cat.pos, axis=-1), 1.0, atol=1e-12)
+
+
+def _check_grid_vs_bruteforce(cat, dirs, intensity=0.7, saturation=0.7):
+    grid = build_star_grid(cat, dtype=jnp.float64)
+    got = np.asarray(
+        grid.lookup(jnp.asarray(dirs), jnp.float64(intensity), jnp.float64(saturation))
+    )
+    want = np.stack([oracle.star_lookup(cat, intensity, saturation, d) for d in dirs])
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_lookup_matches_bruteforce_random():
+    cat = _random_catalog(500, seed=2)
+    rng = np.random.default_rng(3)
+    dirs = rng.normal(size=(200, 3))
+    # Mix in directions at/near actual stars so hits occur.
+    dirs[:100] = cat.pos[:100] + 4e-4 * rng.normal(size=(100, 3))
+    _check_grid_vs_bruteforce(cat, dirs)
+
+
+def test_lookup_matches_bruteforce_clusters():
+    cat = _random_catalog(400, seed=4, clusters=True)
+    rng = np.random.default_rng(5)
+    dirs = cat.pos[rng.integers(0, 400, 150)] + 3e-4 * rng.normal(size=(150, 3))
+    _check_grid_vs_bruteforce(cat, dirs)
+
+
+def test_lookup_poles_and_ra_wrap():
+    """Stars at the poles and straddling RA = 0/2π must be found."""
+    eps = 3e-4
+    pos = np.array(
+        [
+            [0.0, 0.0, 1.0],  # north pole
+            [0.0, 0.0, -1.0],  # south pole
+            ra_dec_to_cartesian(np.float64(2 * math.pi - 1e-5), np.float64(0.1)),
+            ra_dec_to_cartesian(np.float64(1e-5), np.float64(-0.2)),
+        ]
+    )
+    cat = Catalog(
+        pos=pos / np.linalg.norm(pos, axis=-1, keepdims=True),
+        mag=np.array([900, 900, 900, 900], np.int32),
+        hue=np.array([0.631, 0.628, 0.094, 0.0]),
+        sat=np.array([0.39, 0.33, 0.56, 0.0]),
+    )
+    rng = np.random.default_rng(6)
+    probes = np.repeat(cat.pos, 8, axis=0) + eps * rng.normal(size=(32, 3))
+    _check_grid_vs_bruteforce(cat, probes)
+
+
+def test_lookup_respects_cutoff_radius():
+    """A star just outside 3w contributes nothing even though its Gaussian
+    tail is nonzero (inRadius cutoff, StarMap.hs:104)."""
+    base = np.array([1.0, 0.0, 0.0])
+    # Chordal offset slightly beyond the cutoff.
+    off = np.array([0.0, QUERY_RADIUS * 1.05, 0.0])
+    star = base + off
+    star /= np.linalg.norm(star)
+    # Re-scale so chordal distance from base exceeds cutoff after normalise.
+    cat = Catalog(
+        pos=star[None, :],
+        mag=np.array([0], np.int32),  # extremely bright -> clamped val=1
+        hue=np.array([0.5]),
+        sat=np.array([0.3]),
+    )
+    d2 = np.sum((cat.pos[0] - base) ** 2)
+    grid = build_star_grid(cat, dtype=jnp.float64)
+    got = np.asarray(grid.lookup(jnp.asarray(base[None, :]), jnp.float64(1.0), jnp.float64(1.0)))
+    want = oracle.star_lookup(cat, 1.0, 1.0, base)
+    np.testing.assert_allclose(got[0], want, atol=1e-14)
+    if d2 > QUERY_RADIUS**2:
+        np.testing.assert_allclose(got[0], 0.0, atol=1e-14)
+
+
+def test_intensity_clamp_and_channel_clamp():
+    """Bright star: per-star val clamps at 1·intensity; summed channels clamp at 1."""
+    pos = np.array([[1.0, 0.0, 0.0]] * 5) + np.array(
+        [[0, i * 1e-5, 0] for i in range(5)]
+    )
+    pos /= np.linalg.norm(pos, axis=-1, keepdims=True)
+    cat = Catalog(
+        pos=pos,
+        mag=np.full(5, -500, np.int32),
+        hue=np.full(5, 0.1),
+        sat=np.full(5, 0.2),
+    )
+    dirs = np.array([[1.0, 0.0, 0.0]])
+    _check_grid_vs_bruteforce(cat, dirs, intensity=0.9, saturation=1.2)
+    grid = build_star_grid(cat, dtype=jnp.float64)
+    got = np.asarray(grid.lookup(jnp.asarray(dirs), jnp.float64(0.9), jnp.float64(1.2)))
+    assert got.max() <= 1.0 + 1e-12
+
+
+def test_empty_catalog():
+    cat = Catalog(
+        pos=np.zeros((0, 3)), mag=np.zeros(0, np.int32), hue=np.zeros(0), sat=np.zeros(0)
+    )
+    grid = build_star_grid(cat, dtype=jnp.float64)
+    out = np.asarray(grid.lookup(jnp.ones((4, 3)), jnp.float64(1.0), jnp.float64(1.0)))
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_grid_save_load_roundtrip(tmp_path):
+    cat = _random_catalog(64, seed=7)
+    grid = build_star_grid(cat, dtype=jnp.float64)
+    path = str(tmp_path / "stars.npz")
+    save_star_grid(grid, path)
+    loaded = load_star_grid(path, dtype=jnp.float64)
+    rng = np.random.default_rng(8)
+    dirs = cat.pos[:16] + 3e-4 * rng.normal(size=(16, 3))
+    a = np.asarray(grid.lookup(jnp.asarray(dirs), jnp.float64(0.7), jnp.float64(0.7)))
+    b = np.asarray(loaded.lookup(jnp.asarray(dirs), jnp.float64(0.7), jnp.float64(0.7)))
+    np.testing.assert_allclose(a, b, atol=0)
