@@ -67,3 +67,33 @@ def generate_rays(
     )  # (H, W, 3)
     vel = _normalize(dirs).reshape(height * width, 3)
     return pos, vel
+
+
+def generate_rays_at(
+    cam: CameraParams,
+    pixel_ids: jnp.ndarray,
+    width: int,
+    height: int,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray directions for an arbitrary subset of flat row-major pixel ids.
+
+    Same per-pixel math as :func:`generate_rays`; used by the sharded
+    renderer so each mesh shard synthesises exactly its own rays from the
+    (replicated) camera parameters with no cross-device data movement.
+    """
+    dt = jnp.dtype(dtype)
+    pos = cam.position.astype(dt)
+    fov = cam.fov.astype(dt)
+    rot = look_at_rotation(cam.position, cam.look_at, cam.up).astype(dt)
+
+    w = jnp.asarray(width, dt)
+    h = jnp.asarray(height, dt)
+    ys = (pixel_ids // width).astype(dt)
+    xs = (pixel_ids % width).astype(dt)
+    cx = fov * (xs / w - 0.5)
+    cy = fov * (0.5 - ys / h) * h / w
+
+    xa, ya, nza = rot[0], rot[1], rot[2]
+    dirs = cx[:, None] * xa[None, :] + cy[:, None] * ya[None, :] - nza[None, :]
+    return pos, _normalize(dirs)

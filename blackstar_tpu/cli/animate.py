@@ -1,0 +1,68 @@
+"""Animate CLI — keyframe expansion (reference app/Animate.hs:33-66).
+
+Usage::
+
+    python -m blackstar_tpu animate ANIM.yaml [-o DIR] [--force]
+
+Writes one scene YAML per frame (``<basename>_<paddedIdx>.yaml``) into the
+output directory; rendering them is a separate batch ``render`` run, and
+``scripts/ffmpeg-animate`` muxes the stills into a video.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import yaml
+
+from blackstar_tpu.animation import frame_filename, generate_frames, load_animation, validate_keyframes
+from blackstar_tpu.config import Config
+from blackstar_tpu.util import normalize_path, prompt_overwrite_file
+
+
+def build_parser(parser=None) -> argparse.ArgumentParser:
+    p = parser or argparse.ArgumentParser(prog="blackstar animate")
+    p.add_argument("inputfile", help="animation YAML file")
+    p.add_argument("-o", "--output", default="", metavar="PATH", help="output directory")
+    p.add_argument("-f", "--force", action="store_true", help="overwrite files without asking")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    in_path = args.inputfile
+    basename = os.path.splitext(os.path.basename(in_path))[0]
+    if not os.path.isfile(in_path):
+        print("Couldn't open input file.")
+        return 1
+
+    out_path = normalize_path(args.output) if args.output else os.getcwd()
+    os.makedirs(out_path, exist_ok=True)
+
+    try:
+        anim = load_animation(in_path)
+    except Exception as e:
+        print(f"Error when decoding config:\n{e}")
+        return 1
+    try:
+        validate_keyframes(sorted(anim.keyframes, key=lambda k: k.time))
+    except ValueError as e:
+        print(e)
+        return 1
+
+    for idx, frame in enumerate(generate_frames(anim)):
+        filename = os.path.join(out_path, frame_filename(basename, anim.n_frames, idx))
+
+        def write(path: str, cfg: Config = frame) -> None:
+            with open(path, "w") as f:
+                yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)
+
+        prompt_overwrite_file(filename, write, force=args.force)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,54 @@
+"""generate-grid CLI — offline star-structure build (reference
+app/GenerateTree.hs:11-29, ``generate-tree PPM stars.kdt``).
+
+Usage::
+
+    python -m blackstar_tpu generate-grid PPM stars.grid.npz
+
+Parses the PPM star catalogue (binary format, StarMap.hs:44-58) and builds
+the bucketed spherical grid that replaces the reference's k-d tree, then
+serialises it to ``.npz``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from blackstar_tpu.util import prompt_overwrite_file, time_action
+
+
+def build_parser(parser=None) -> argparse.ArgumentParser:
+    p = parser or argparse.ArgumentParser(prog="blackstar generate-grid")
+    p.add_argument("catalog", help="PPM star catalogue file")
+    p.add_argument("output", help="output star-grid path (.npz)")
+    p.add_argument("-f", "--force", action="store_true", help="overwrite without asking")
+    p.add_argument("--cell-size", type=float, default=0.02, help="grid ring height (rad)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from blackstar_tpu.stars.catalog import read_catalog
+    from blackstar_tpu.stars.grid import build_star_grid, save_star_grid
+
+    if not os.path.isfile(args.catalog):
+        print(f"Error: file {args.catalog} doesn't exist.")
+        return 1
+
+    print(f"Reading {args.catalog}...")
+    catalog = read_catalog(args.catalog)
+    print(f"Parsed {catalog.n_stars} stars.")
+
+    with time_action("Building the star grid"):
+        grid = build_star_grid(catalog, cell_size=args.cell_size)
+
+    prompt_overwrite_file(args.output, lambda p: save_star_grid(grid, p), force=args.force)
+    print("Star grid saved.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""Render CLI — the ``blackstar`` executable (reference app/Main.hs:43-125).
+
+Usage::
+
+    python -m blackstar_tpu render SCENE.yaml [-o DIR] [--preview] [--force]
+                                   [--starmap stars.grid.npz] [--sharded]
+
+A directory input renders every ``*.yaml`` inside it in sorted order (batch
+mode, app/Main.hs:64-78). ``--preview`` caps the long side at 300 px and
+disables supersampling/bloom (app/Main.hs:93-103), prefixing outputs with
+``prev-``. ``--sharded`` spreads rays over every visible device via the mesh
+renderer (the multi-chip replacement for massiv's multicore ``Par``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from blackstar_tpu.util import clear_screen, normalize_path, prompt_overwrite_file, time_action
+
+DEFAULT_STARMAP = "stars.grid.npz"
+
+
+def build_parser(parser=None) -> argparse.ArgumentParser:
+    p = parser or argparse.ArgumentParser(prog="blackstar render")
+    p.add_argument("inputfile", help="scene YAML file or directory of scenes")
+    p.add_argument("-o", "--output", default="", metavar="PATH", help="output directory")
+    p.add_argument("--preview", action="store_true", help="preview render (small size)")
+    p.add_argument("-f", "--force", action="store_true", help="overwrite images without asking")
+    p.add_argument(
+        "--starmap", default=DEFAULT_STARMAP, metavar="PATH",
+        help=f"path to star grid (default: {DEFAULT_STARMAP})",
+    )
+    p.add_argument("--sharded", action="store_true", help="shard rays over all devices")
+    p.add_argument("--stats", action="store_true", help="print per-render ray statistics")
+    return p
+
+
+def _load_stars(path: str):
+    """Missing starmap is a warning, not an error — scenes render with a
+    black sky (the reference exits instead, app/Main.hs:46-50; degrading
+    gracefully is deliberate since the catalogue is an external download)."""
+    if not os.path.exists(path):
+        print(f"Warning: starmap {path} not found; rendering without stars.")
+        return None
+    from blackstar_tpu.stars.grid import load_star_grid
+
+    grid = load_star_grid(path)
+    print("Starmap successfully read.")
+    return grid
+
+
+def handle_scene(args, star_grid, outdir: str, filename: str) -> bool:
+    import numpy as np
+
+    from blackstar_tpu.config import apply_preview, load_config
+    from blackstar_tpu.imageio import write_png
+
+    scene_name = os.path.splitext(os.path.basename(filename))[0]
+    print(f"Reading {filename}...")
+    try:
+        cfg = load_config(filename)
+    except Exception as e:  # parse errors skip the scene (app/Main.hs:91)
+        print(f"Error when decoding config:\n{e}")
+        return False
+    print("Scene successfully read.")
+    if args.preview:
+        cfg = apply_preview(cfg)
+        scene_name = "prev-" + scene_name
+
+    params, static = cfg.params(), cfg.static()
+    grid = star_grid
+    if grid is not None and grid.pos.dtype != static.jdtype:
+        grid = grid.astype(static.jdtype)
+
+    print(f"Rendering {scene_name}...")
+    with time_action("Rendering"):
+        img = _render(args, params, static, grid, with_stats=args.stats)
+
+    if cfg.scene.bloom_strength != 0.0:
+        print("Applying bloom...")
+        from blackstar_tpu.ops.filters import bloom
+
+        with time_action("Bloom"):
+            import jax
+
+            img = jax.block_until_ready(
+                jax.jit(bloom, static_argnums=(2,))(
+                    img, params.bloom_strength, static.bloom_divider
+                )
+            )
+
+    out_name = os.path.join(outdir, scene_name + ".png")
+    print(f"Saving to {out_name}...")
+    prompt_overwrite_file(out_name, lambda p: write_png(np.asarray(img), p), force=args.force)
+    return True
+
+
+def _render(args, params, static, grid, with_stats=False):
+    import jax
+
+    if args.sharded:
+        from blackstar_tpu.parallel.render import render_sharded
+
+        fn = jax.jit(
+            lambda p, g: render_sharded(p, static, g), static_argnames=()
+        )
+        return jax.block_until_ready(fn(params, grid))
+
+    from blackstar_tpu.render import render
+
+    if with_stats:
+        img, stats = jax.jit(lambda p, g: render(p, static, g, with_stats=True))(params, grid)
+        img = jax.block_until_ready(img)
+        print(
+            f"steps={int(stats.steps)} escaped={float(stats.escaped_frac):.3f} "
+            f"horizon={float(stats.horizon_frac):.3f} "
+            f"truncated={float(stats.truncated_frac):.4f}"
+        )
+        return img
+    return jax.block_until_ready(jax.jit(lambda p, g: render(p, static, g))(params, grid))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    star_grid = _load_stars(args.starmap)
+
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+    outdir = normalize_path(args.output) if args.output else os.getcwd()
+    os.makedirs(outdir, exist_ok=True)
+
+    filename = normalize_path(args.inputfile)
+    if os.path.isdir(filename):
+        print(f"{filename} is a directory. Rendering all scenes inside it...")
+        files = sorted(
+            os.path.join(filename, f)
+            for f in os.listdir(filename)
+            if f.endswith(".yaml")
+        )
+        for idx, scn in enumerate(files, 1):
+            clear_screen()
+            print(f"Batch mode progress: {idx}/{len(files)}")
+            handle_scene(args, star_grid, outdir, scn)
+    else:
+        handle_scene(args, star_grid, outdir, filename)
+    print("Everything done. Thank you!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

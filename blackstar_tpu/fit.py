@@ -1,0 +1,108 @@
+"""Differentiable scene fitting (inverse rendering) — the "training" path.
+
+The reference is forward-only. The BASELINE.json north star makes the new
+framework *differentiable*: pixel gradients w.r.t. camera pose, disk
+parameters, and black-hole mass, validated against finite differences. This
+module packages that as a standard JAX training loop: an L2 image loss, an
+optax optimiser, and a jittable ``train_step`` that runs sharded over a
+device mesh (forward embarrassingly parallel over ray tiles; backward
+all-reduces only the small parameter-gradient pytree).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from blackstar_tpu.config import SceneParams, StaticConfig
+from blackstar_tpu.render import render
+
+
+class TrainState(NamedTuple):
+    params: SceneParams
+    opt_state: Any
+    step: jnp.ndarray  # () int32
+
+
+def image_loss(
+    params: SceneParams,
+    static: StaticConfig,
+    target: jnp.ndarray,
+    star_grid=None,
+    *,
+    mesh=None,
+) -> jnp.ndarray:
+    """Mean-squared error between the rendered linear-RGB image and a target.
+
+    Renders through the checkpointed (reverse-mode-capable) march; with a
+    ``mesh`` the forward shards rays over devices and the backward psums the
+    parameter cotangents.
+    """
+    if mesh is not None:
+        from blackstar_tpu.parallel.render import render_sharded
+
+        img = render_sharded(params, static, star_grid, mesh=mesh, differentiable=True)
+    else:
+        img = render(params, static, star_grid, differentiable=True)
+    return jnp.mean((img - target.astype(img.dtype)) ** 2)
+
+
+def make_train_step(
+    static: StaticConfig,
+    optimizer: optax.GradientTransformation,
+    star_grid=None,
+    *,
+    mesh=None,
+):
+    """Build a jittable ``(state, target) -> (state, loss)`` update step."""
+
+    def train_step(state: TrainState, target: jnp.ndarray) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(image_loss)(
+            state.params, static, target, star_grid, mesh=mesh
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def init_train_state(params: SceneParams, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.int32(0))
+
+
+def fit_scene(
+    params: SceneParams,
+    static: StaticConfig,
+    target: jnp.ndarray,
+    star_grid=None,
+    *,
+    steps: int = 100,
+    learning_rate: float = 1e-2,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    mesh=None,
+    jit: bool = True,
+    callback=None,
+):
+    """Gradient-descend scene parameters toward a target image.
+
+    Returns ``(params, losses)``. This is the end-to-end capability the
+    forward-only reference cannot express: recovering camera pose / disk
+    shape / black-hole mass from an observed render.
+    """
+    opt = optimizer or optax.adam(learning_rate)
+    state = init_train_state(params, opt)
+    step_fn = make_train_step(static, opt, star_grid, mesh=mesh)
+    if jit:
+        step_fn = jax.jit(step_fn)
+    losses = []
+    for i in range(steps):
+        state, loss = step_fn(state, target)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, state, losses[-1])
+    return state.params, losses

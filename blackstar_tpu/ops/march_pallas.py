@@ -1,0 +1,312 @@
+"""Pallas TPU kernel for the geodesic march (the hot loop).
+
+Why a kernel: the XLA ``while_loop`` path keeps the (N, 12)-float ray state
+in HBM and round-trips all of it through VMEM on *every* RK4 step — at 1080p
+that is ~100 MB × thousands of steps of pure memory traffic for ~100 flops
+per ray-step of actual math. This kernel instead pins a tile of rays in VMEM
+and runs the *entire* march loop on it: HBM traffic collapses to one read of
+the initial directions plus one write of the results, and the loop becomes
+VPU-compute-bound.
+
+Schedule:
+
+* The flat ray array is padded and viewed as (rows, 128) f32 lanes; each grid
+  step owns a (BLOCK_ROWS, 128) tile (survey §7.6 "ray tile in VMEM").
+* Per-tile early exit: the tile's ``while_loop`` stops as soon as every ray
+  in it terminated. Grid steps run back-to-back on the core, so total time is
+  the *sum* of per-tile maxima — contiguous (spatially coherent) tiles make
+  that sum approach the true per-ray work integral (sky tiles exit in tens of
+  steps; only photon-ring tiles run long). This replaces both the reference's
+  per-pixel early exit (Raytracer.hs:77-86) and its work-stealing scheduler
+  (Raytracer.hs:66).
+* Divisions are restructured as ``rsqrt`` powers (no hardware divide needed
+  in the RHS): 1/|p|⁵ = rsqrt(r2)⁵.
+
+Numerics and event semantics are bit-for-bit the ``geodesic._march_step``
+ones (same RK4 tableau, same pre-step classification, same front-to-back
+blend), so the Pallas and XLA paths are interchangeable and tested equal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blackstar_tpu.geodesic import ACTIVE, ESCAPED, HORIZON, MarchResult
+
+LANES = 128
+DEFAULT_BLOCK_ROWS = 64  # 64×128 = 8192 rays/tile ≈ 0.5 MB of VMEM state
+UNROLL = 4  # RK4 steps per while-loop iteration (amortises the `any` check)
+
+# SMEM scalar-parameter layout.
+_S_H = 0  # step size
+_S_MASS = 1  # Schwarzschild radius rs
+_S_SAFE = 2  # squared escape radius
+_S_INNER2 = 3  # disk inner radius²
+_S_OUTER2 = 4  # disk outer radius²
+_S_OPACITY = 5
+_S_DISK_R = 6
+_S_DISK_G = 7
+_S_DISK_B = 8
+_S_INNER = 9
+_S_OUTER = 10
+_N_SCALARS = 11
+
+
+def _march_kernel(
+    scal_ref,  # SMEM (_N_SCALARS,) f32
+    cap_ref,  # SMEM (1,) i32 max steps
+    p0_ref,  # SMEM (3,) f32 camera position
+    vx_ref, vy_ref, vz_ref,  # VMEM (R, 128) initial directions
+    ovx_ref, ovy_ref, ovz_ref,  # VMEM (R, 128) final velocity out
+    oar_ref, oag_ref, oab_ref, oaa_ref,  # VMEM (R, 128) accumulated RGBA out
+    ostat_ref,  # VMEM (R, 128) i32 status out
+    *,
+    disk_on: bool,
+):
+    h = scal_ref[_S_H]
+    mass = scal_ref[_S_MASS]
+    safe = scal_ref[_S_SAFE]
+    rs2 = mass * mass
+
+    p0x, p0y, p0z = p0_ref[0], p0_ref[1], p0_ref[2]
+    vx, vy, vz = vx_ref[:], vy_ref[:], vz_ref[:]
+    shape = vx.shape
+    px = jnp.full(shape, p0x)
+    py = jnp.full(shape, p0y)
+    pz = jnp.full(shape, p0z)
+
+    # Conserved angular momentum h² = |pos × vel|² (Raytracer.hs:73).
+    cx = py * vz - pz * vy
+    cy = pz * vx - px * vz
+    cz = px * vy - py * vx
+    h2 = cx * cx + cy * cy + cz * cz
+    coef = -1.5 * mass * h2
+
+    def accel(qx, qy, qz):
+        r2 = qx * qx + qy * qy + qz * qz
+        inv = jax.lax.rsqrt(r2)
+        inv2 = inv * inv
+        s = coef * inv * inv2 * inv2  # coef / r^5
+        return s * qx, s * qy, s * qz
+
+    def rk4(px, py, pz, vx, vy, vz):
+        # d(pos)/dt = vel, d(vel)/dt = accel(pos) — classic tableau,
+        # manually unrolled per component (Raytracer.hs:113-134).
+        h2_ = h * 0.5
+        a1x, a1y, a1z = accel(px, py, pz)
+        q2x, q2y, q2z = px + h2_ * vx, py + h2_ * vy, pz + h2_ * vz
+        u2x, u2y, u2z = vx + h2_ * a1x, vy + h2_ * a1y, vz + h2_ * a1z
+        a2x, a2y, a2z = accel(q2x, q2y, q2z)
+        q3x, q3y, q3z = px + h2_ * u2x, py + h2_ * u2y, pz + h2_ * u2z
+        u3x, u3y, u3z = vx + h2_ * a2x, vy + h2_ * a2y, vz + h2_ * a2z
+        a3x, a3y, a3z = accel(q3x, q3y, q3z)
+        q4x, q4y, q4z = px + h * u3x, py + h * u3y, pz + h * u3z
+        u4x, u4y, u4z = vx + h * a3x, vy + h * a3y, vz + h * a3z
+        a4x, a4y, a4z = accel(q4x, q4y, q4z)
+        s = h / 6.0
+        npx = px + s * (vx + 2.0 * (u2x + u3x) + u4x)
+        npy = py + s * (vy + 2.0 * (u2y + u3y) + u4y)
+        npz = pz + s * (vz + 2.0 * (u2z + u3z) + u4z)
+        nvx = vx + s * (a1x + 2.0 * (a2x + a3x) + a4x)
+        nvy = vy + s * (a1y + 2.0 * (a2y + a3y) + a4y)
+        nvz = vz + s * (a1z + 2.0 * (a2z + a3z) + a4z)
+        return npx, npy, npz, nvx, nvy, nvz
+
+    # Initialise the accumulators by round-tripping zeros through the output
+    # refs: a real VMEM read has a concrete (non-replicated) vector layout,
+    # whereas a broadcast-of-zero constant is layout-replicated and Mosaic
+    # rejects the non-replicated -> replicated relayout at the loop backedge.
+    oaa_ref[:] = jnp.zeros(shape, jnp.float32)
+    ostat_ref[:] = jnp.zeros(shape, jnp.int32)
+    acc0 = oaa_ref[:]
+    status0 = ostat_ref[:]
+    cap = cap_ref[0]
+
+    def cond(carry):
+        i, *_, status = carry
+        return jnp.logical_and(i < cap, jnp.any(status == ACTIVE))
+
+    def shade_disk(args):
+        """Disk-crossing composite — divide/sqrt/sin, entered via lax.cond
+        only on iterations where the tile has a candidate crossing."""
+        candidate, r2, r2n, py, npy, ar, ag, ab, aa = args
+        inner2 = scal_ref[_S_INNER2]
+        outer2 = scal_ref[_S_OUTER2]
+        opacity = scal_ref[_S_OPACITY]
+        inner = scal_ref[_S_INNER]
+        outer = scal_ref[_S_OUTER]
+        denom = npy - py
+        denom_safe = jnp.where(candidate, denom, 1.0)
+        # Crossing radius² linearly interpolated in y (Raytracer.hs:102).
+        r2ave = (npy * r2 - py * r2n) / denom_safe
+        hit = candidate & (r2ave > inner2) & (r2ave < outer2)
+        r2ave_safe = jnp.where(hit, r2ave, 0.5 * (inner2 + outer2))
+        r = jnp.sqrt(r2ave_safe)
+        frac = (outer - r) / (outer - inner)
+        # Radial profile sin(π·frac²) (Raytracer.hs:104-111).
+        intensity = jnp.sin(jnp.pi * frac * frac)
+        one_m = 1.0 - aa
+        hitf = hit.astype(jnp.float32) * intensity * one_m
+        ar = ar + scal_ref[_S_DISK_R] * hitf
+        ag = ag + scal_ref[_S_DISK_G] * hitf
+        ab = ab + scal_ref[_S_DISK_B] * hitf
+        aa = aa + opacity * hitf
+        return ar, ag, ab, aa
+
+    def body(carry):
+        i, px, py, pz, vx, vy, vz, ar, ag, ab, aa, status = carry
+
+        for j in range(UNROLL):
+            npx, npy, npz, nvx, nvy, nvz = rk4(px, py, pz, vx, vy, vz)
+
+            # Classification on the *pre-step* state (geodesic._march_step).
+            # ``valid`` gates sub-steps past the cap so the unrolled loop is
+            # exactly equivalent to the step-at-a-time XLA path.
+            valid = i + j < cap
+            r2 = px * px + py * py + pz * pz
+            active = jnp.logical_and(status == ACTIVE, valid)
+            hit_horizon = jnp.logical_and(active, r2 < rs2)
+            hit_escape = jnp.logical_and(
+                active, jnp.logical_and(r2 >= rs2, r2 > safe)
+            )
+            cont = jnp.logical_and(
+                active, jnp.logical_not(jnp.logical_or(hit_horizon, hit_escape))
+            )
+
+            if disk_on:
+                r2n = npx * npx + npy * npy + npz * npz
+                opacity_on = scal_ref[_S_OPACITY] != 0.0
+                sign_flip = jnp.sign(py) != jnp.sign(npy)
+                candidate = cont & sign_flip & opacity_on
+                ar, ag, ab, aa = jax.lax.cond(
+                    jnp.any(candidate),
+                    shade_disk,
+                    lambda args: args[5:9],
+                    (candidate, r2, r2n, py, npy, ar, ag, ab, aa),
+                )
+
+            # Arithmetic status update (avoids int selects, which trip a
+            # Mosaic relayout bug): events only fire while status == ACTIVE
+            # == 0, so adding the code is exact. HORIZON = 2, ESCAPED = 1.
+            status = (
+                status
+                + 2 * hit_horizon.astype(jnp.int32)
+                + hit_escape.astype(jnp.int32)
+            )
+            px = jnp.where(cont, npx, px)
+            py = jnp.where(cont, npy, py)
+            pz = jnp.where(cont, npz, pz)
+            vx = jnp.where(cont, nvx, vx)
+            vy = jnp.where(cont, nvy, vy)
+            vz = jnp.where(cont, nvz, vz)
+
+        return (i + UNROLL, px, py, pz, vx, vy, vz, ar, ag, ab, aa, status)
+
+    init = (
+        jnp.int32(0),
+        px, py, pz, vx, vy, vz,
+        acc0, acc0, acc0, acc0,
+        status0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    _, px, py, pz, vx, vy, vz, ar, ag, ab, aa, status = final
+
+    ovx_ref[:] = vx
+    ovy_ref[:] = vy
+    ovz_ref[:] = vz
+    oar_ref[:] = ar
+    oag_ref[:] = ag
+    oab_ref[:] = ab
+    oaa_ref[:] = aa
+    ostat_ref[:] = status
+
+
+def march_pallas(
+    pos0: jnp.ndarray,
+    vel0: jnp.ndarray,
+    *,
+    step_size: float,
+    max_steps: int,
+    mass: jnp.ndarray,
+    safe_distance: jnp.ndarray,
+    disk_on: bool,
+    disk_inner: jnp.ndarray,
+    disk_outer: jnp.ndarray,
+    disk_opacity: jnp.ndarray,
+    disk_rgb: jnp.ndarray,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: bool = False,
+) -> MarchResult:
+    """Forward-only Pallas march over (N, 3) ray directions.
+
+    ``pos0`` is the shared (3,) camera position. Semantics identical to
+    :func:`blackstar_tpu.geodesic.march` (non-differentiable path); padding
+    rays (to a whole number of tiles) are marched with lane 0's direction and
+    discarded.
+    """
+    n = vel0.shape[0]
+    f32 = jnp.float32
+    vel0 = vel0.astype(f32)
+
+    tile = block_rows * LANES
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        pad = jnp.broadcast_to(vel0[:1], (n_pad - n, 3)).astype(f32)
+        vel0 = jnp.concatenate([vel0, pad], axis=0)
+    rows = n_pad // LANES
+    grid = rows // block_rows
+
+    vx = vel0[:, 0].reshape(rows, LANES)
+    vy = vel0[:, 1].reshape(rows, LANES)
+    vz = vel0[:, 2].reshape(rows, LANES)
+
+    scal = jnp.stack(
+        [
+            jnp.asarray(step_size, f32),
+            jnp.asarray(mass, f32),
+            jnp.asarray(safe_distance, f32),
+            jnp.asarray(disk_inner, f32) ** 2,
+            jnp.asarray(disk_outer, f32) ** 2,
+            jnp.asarray(disk_opacity, f32),
+            jnp.asarray(disk_rgb[0], f32),
+            jnp.asarray(disk_rgb[1], f32),
+            jnp.asarray(disk_rgb[2], f32),
+            jnp.asarray(disk_inner, f32),
+            jnp.asarray(disk_outer, f32),
+        ]
+    )
+    cap = jnp.array([max_steps], jnp.int32)
+    p0 = jnp.asarray(pos0, f32).reshape(3)
+
+    vmem_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((rows, LANES), f32)
+
+    outs = pl.pallas_call(
+        functools.partial(_march_kernel, disk_on=disk_on),
+        grid=(grid,),
+        in_specs=[smem_spec, smem_spec, smem_spec] + [vmem_spec] * 3,
+        out_specs=[vmem_spec] * 7 + [vmem_spec],
+        out_shape=[out_shape] * 7 + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(scal, cap, p0, vx, vy, vz)
+
+    ovx, ovy, ovz, ar, ag, ab, aa, status = outs
+    vel = jnp.stack([ovx.reshape(-1), ovy.reshape(-1), ovz.reshape(-1)], axis=-1)[:n]
+    acc = jnp.stack(
+        [ar.reshape(-1), ag.reshape(-1), ab.reshape(-1), aa.reshape(-1)], axis=-1
+    )[:n]
+    return MarchResult(
+        acc_rgba=acc,
+        vel=vel,
+        status=status.reshape(-1)[:n],
+        steps=jnp.int32(max_steps),
+    )

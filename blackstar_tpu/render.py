@@ -43,30 +43,13 @@ def safe_distance(params: SceneParams, dtype) -> jnp.ndarray:
     return jnp.maximum(jnp.asarray(2500.0, dtype), 2.0 * jnp.dot(p, p))
 
 
-def render(
-    params: SceneParams,
-    static: StaticConfig,
-    star_grid=None,
-    *,
-    differentiable: bool = False,
-    with_stats: bool = False,
-):
-    """Render the linear-RGB image (H, W, 3) — before bloom, like
-    ``Raytracer.render`` (bloom is applied by the driver, app/Main.hs:113-118).
+def shade(res, params: SceneParams, star_grid, dt) -> jnp.ndarray:
+    """Composite the bottom layer under the accumulated disk RGBA.
+
+    Bottom = celestial-sphere stars (alpha 1) for escaped rays, black for
+    horizon-captured and step-cap-truncated rays (Raytracer.hs:88-95, blend
+    at :34-37). Shared by the single-device and mesh-sharded render paths.
     """
-    dt = static.jdtype
-    rw, rh = static.render_width, static.render_height
-    pos0, vel0 = generate_rays(params.camera, rw, rh, dtype=dt)
-
-    res = march(
-        pos0,
-        vel0,
-        params,
-        static,
-        safe_distance(params, dt),
-        differentiable=differentiable,
-    )
-
     escaped = res.status == ESCAPED
     if star_grid is not None:
         star_rgb = star_grid.lookup(
@@ -77,12 +60,80 @@ def render(
         )
         bottom = jnp.where(escaped[:, None], star_rgb, jnp.zeros((), dt))
     else:
-        bottom = jnp.zeros((vel0.shape[0], 3), dt)
+        bottom = jnp.zeros((res.vel.shape[0], 3), dt)
 
-    # Bottom layer: stars (alpha 1) if escaped, black otherwise — including
-    # rays truncated at the step cap (Raytracer.hs:88-95).
     acc = res.acc_rgba
-    rgb = acc[:, :3] + bottom * (1.0 - acc[:, 3:4])
+    return acc[:, :3] + bottom * (1.0 - acc[:, 3:4])
+
+
+def run_march(
+    pos0,
+    vel0,
+    params: SceneParams,
+    static: StaticConfig,
+    *,
+    differentiable: bool = False,
+    use_pallas="auto",
+):
+    """Dispatch the geodesic march to the Pallas TPU kernel or the XLA path.
+
+    ``use_pallas='auto'`` picks the kernel exactly when it is valid and
+    profitable: forward-only (the backward pass needs the checkpointed scan),
+    float32 (TPU compute dtype), on a TPU backend.
+    """
+    if use_pallas == "auto":
+        use_pallas = (
+            not differentiable
+            and static.jdtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
+    safe = safe_distance(params, static.jdtype)
+    if use_pallas:
+        from blackstar_tpu.color import hsi_to_rgb
+        from blackstar_tpu.ops.march_pallas import march_pallas
+
+        return march_pallas(
+            pos0,
+            vel0,
+            step_size=static.step_size,
+            max_steps=static.max_steps,
+            mass=params.mass,
+            safe_distance=safe,
+            disk_on=static.disk_on,
+            disk_inner=params.disk.inner,
+            disk_outer=params.disk.outer,
+            disk_opacity=params.disk.opacity,
+            disk_rgb=hsi_to_rgb(params.disk.color_hsi.astype(jnp.float32)),
+        )
+    return march(pos0, vel0, params, static, safe, differentiable=differentiable)
+
+
+def render(
+    params: SceneParams,
+    static: StaticConfig,
+    star_grid=None,
+    *,
+    differentiable: bool = False,
+    with_stats: bool = False,
+    use_pallas="auto",
+):
+    """Render the linear-RGB image (H, W, 3) — before bloom, like
+    ``Raytracer.render`` (bloom is applied by the driver, app/Main.hs:113-118).
+    """
+    dt = static.jdtype
+    rw, rh = static.render_width, static.render_height
+    pos0, vel0 = generate_rays(params.camera, rw, rh, dtype=dt)
+
+    res = run_march(
+        pos0,
+        vel0,
+        params,
+        static,
+        differentiable=differentiable,
+        use_pallas=use_pallas,
+    )
+
+    rgb = shade(res, params, star_grid, dt)
     img = rgb.reshape(rh, rw, 3)
 
     if static.supersampling:

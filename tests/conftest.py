@@ -14,6 +14,9 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+# Some environments pin JAX_PLATFORMS from sitecustomize before conftest runs
+# (e.g. a hardware-tunnel platform plugin); the config knob still wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the march while-loop takes ~30 s to compile on

@@ -1,0 +1,150 @@
+"""CLI drivers: animate expansion, generate-grid round-trip, render
+(preview, batch, force/overwrite), and the dispatcher."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from blackstar_tpu.__main__ import main as dispatch_main
+from blackstar_tpu.cli.animate import main as animate_main
+from blackstar_tpu.cli.generate_grid import main as grid_main
+from blackstar_tpu.cli.render import main as render_main
+
+
+def _write_animation(path, n_frames=4):
+    anim = {
+        "scene": {"resolution": [8, 5], "diskOpacity": 0.9, "maxSteps": 60,
+                  "bloomStrength": 0.0, "dtype": "float32"},
+        "nFrames": n_frames,
+        "interpolation": "linear",
+        "keyframes": [
+            {"time": 0, "camera": {"position": [0, 1, -20], "lookAt": [0, 0, 0],
+                                   "upVec": [0, 1, 0], "fov": 1.5}},
+            {"time": 1, "camera": {"position": [5, 1, -20], "lookAt": [0, 0, 0],
+                                   "upVec": [0, 1, 0], "fov": 2.0}},
+        ],
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(anim, f)
+
+
+def _write_scene(path, **scene):
+    scene = {"resolution": [8, 5], "maxSteps": 60, "bloomStrength": 0.0,
+             "dtype": "float32", **scene}
+    cfg = {
+        "camera": {"position": [0, 1, -20], "lookAt": [0, 0, 0],
+                   "upVec": [0, 1, 0], "fov": 1.5},
+        "scene": scene,
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+
+class TestAnimate:
+    def test_expands_frames(self, tmp_path):
+        anim_path = tmp_path / "orbit.yaml"
+        _write_animation(anim_path, n_frames=4)
+        out = tmp_path / "frames"
+        assert animate_main([str(anim_path), "-o", str(out), "--force"]) == 0
+        files = sorted(os.listdir(out))
+        assert files == ["orbit_0.yaml", "orbit_1.yaml", "orbit_2.yaml", "orbit_3.yaml"]
+        first = yaml.safe_load((out / "orbit_0.yaml").read_text())
+        last = yaml.safe_load((out / "orbit_3.yaml").read_text())
+        assert first["camera"]["position"][0] == pytest.approx(0.0)
+        assert last["camera"]["position"][0] == pytest.approx(5.0)
+        assert last["camera"]["fov"] == pytest.approx(2.0)
+
+    def test_invalid_keyframes_rejected(self, tmp_path, capsys):
+        anim_path = tmp_path / "bad.yaml"
+        _write_animation(anim_path)
+        d = yaml.safe_load(anim_path.read_text())
+        d["keyframes"][1]["time"] = 0.9
+        anim_path.write_text(yaml.safe_dump(d))
+        assert animate_main([str(anim_path), "-o", str(tmp_path / "x"), "--force"]) == 1
+
+    def test_missing_input(self, tmp_path):
+        assert animate_main([str(tmp_path / "nope.yaml")]) == 1
+
+
+class TestGenerateGrid:
+    def test_round_trip(self, tmp_path):
+        from blackstar_tpu.stars.catalog import encode_ppm
+        from blackstar_tpu.stars.grid import load_star_grid
+
+        rng = np.random.default_rng(0)
+        n = 50
+        ppm = tmp_path / "cat.ppm"
+        ppm.write_bytes(
+            encode_ppm(
+                ra=rng.uniform(0, 2 * np.pi, n),
+                dec=rng.uniform(-np.pi / 2, np.pi / 2, n),
+                spectral=["G"] * n,
+                mag=rng.integers(500, 1200, n),
+            )
+        )
+        out = tmp_path / "stars.grid.npz"
+        assert grid_main([str(ppm), str(out), "--force"]) == 0
+        grid = load_star_grid(str(out))
+        assert grid.n_stars == n
+
+    def test_missing_catalog(self, tmp_path):
+        assert grid_main([str(tmp_path / "no.ppm"), str(tmp_path / "o.npz")]) == 1
+
+
+class TestRender:
+    def test_single_scene(self, tmp_path):
+        scn = tmp_path / "tiny.yaml"
+        _write_scene(scn, diskOpacity=0.9)
+        out = tmp_path / "out"
+        assert render_main([str(scn), "-o", str(out), "--force",
+                            "--starmap", str(tmp_path / "absent.npz")]) == 0
+        assert (out / "tiny.png").exists()
+
+    def test_preview_prefix(self, tmp_path):
+        scn = tmp_path / "tiny.yaml"
+        _write_scene(scn, diskOpacity=0.9, resolution=[20, 10])
+        out = tmp_path / "out"
+        assert render_main([str(scn), "-o", str(out), "--force", "--preview",
+                            "--starmap", str(tmp_path / "absent.npz")]) == 0
+        assert (out / "prev-tiny.png").exists()
+        from blackstar_tpu.imageio import read_png
+
+        img = read_png(str(out / "prev-tiny.png"))
+        assert img.shape == (150, 300, 3)
+
+    def test_batch_directory(self, tmp_path):
+        scenes = tmp_path / "scenes"
+        scenes.mkdir()
+        _write_scene(scenes / "a.yaml", diskOpacity=0.9)
+        _write_scene(scenes / "b.yaml", diskOpacity=0.0)
+        (scenes / "broken.yaml").write_text("scene: [not, a, mapping\n")
+        out = tmp_path / "out"
+        assert render_main([str(scenes), "-o", str(out), "--force",
+                            "--starmap", str(tmp_path / "absent.npz")]) == 0
+        assert (out / "a.png").exists() and (out / "b.png").exists()
+
+    def test_bloom_applied(self, tmp_path):
+        scn = tmp_path / "glow.yaml"
+        _write_scene(scn, diskOpacity=0.9, bloomStrength=0.5, bloomDivider=4)
+        out = tmp_path / "out"
+        assert render_main([str(scn), "-o", str(out), "--force",
+                            "--starmap", str(tmp_path / "absent.npz")]) == 0
+        assert (out / "glow.png").exists()
+
+
+class TestDispatcher:
+    def test_help(self, capsys):
+        assert dispatch_main(["--help"]) == 0
+        assert "render" in capsys.readouterr().out
+
+    def test_unknown(self, capsys):
+        assert dispatch_main(["frobnicate"]) == 2
+
+    def test_dispatch_animate(self, tmp_path):
+        anim_path = tmp_path / "a.yaml"
+        _write_animation(anim_path, n_frames=2)
+        out = tmp_path / "frames"
+        assert dispatch_main(["animate", str(anim_path), "-o", str(out), "--force"]) == 0
+        assert len(os.listdir(out)) == 2
