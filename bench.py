@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from blackstar_tpu.config import load_config
     from blackstar_tpu.render import render
@@ -37,17 +38,23 @@ def main() -> None:
 
         star_grid = load_star_grid(grid_path, dtype=static.jdtype)
 
-    fn = jax.jit(lambda p, g: render(p, static, g))
+    # Reduce on device so timing forces execution with a scalar fetch (on
+    # tunneled platforms block_until_ready alone may not block).
+    fn = jax.jit(lambda p, g: jnp.sum(render(p, static, g)))
     # Warm-up / compile.
-    img = jax.block_until_ready(fn(params, star_grid))
+    float(fn(params, star_grid))
 
     n_rays = static.render_width * static.render_height
-    reps = 3
+    # Keep several dispatches in flight before fetching, so per-call host
+    # round-trip overhead is amortised out of the steady-state number.
+    reps = 8
     times = []
-    for _ in range(reps):
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, star_grid))
-        times.append(time.perf_counter() - t0)
+        outs = [fn(params, star_grid) for _ in range(reps)]
+        for o in outs:
+            float(o)
+        times.append((time.perf_counter() - t0) / reps)
     best = min(times)
 
     mrays = n_rays / best / 1e6

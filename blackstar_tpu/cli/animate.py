@@ -27,6 +27,15 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("inputfile", help="animation YAML file")
     p.add_argument("-o", "--output", default="", metavar="PATH", help="output directory")
     p.add_argument("-f", "--force", action="store_true", help="overwrite files without asking")
+    p.add_argument(
+        "--render", action="store_true",
+        help="render frames straight to PNG (device-resident fast path) "
+        "instead of expanding per-frame YAMLs",
+    )
+    p.add_argument("--preview", action="store_true", help="with --render: preview size")
+    p.add_argument("--sharded", action="store_true", help="with --render: shard over devices")
+    p.add_argument("--starmap", default="stars.grid.npz", metavar="PATH",
+                   help="with --render: star grid path")
     return p
 
 
@@ -52,6 +61,23 @@ def main(argv=None) -> int:
     except ValueError as e:
         print(e)
         return 1
+
+    if args.render:
+        from blackstar_tpu.cli.render import _load_stars
+        from blackstar_tpu.video import render_animation
+
+        star_grid = _load_stars(args.starmap)
+        paths = render_animation(
+            anim,
+            out_path,
+            star_grid=star_grid,
+            basename=basename,
+            preview=args.preview,
+            sharded=args.sharded,
+            progress=lambda i, n: print(f"Frame {i}/{n}", end="\r"),
+        )
+        print(f"\nRendered {len(paths)} frames to {out_path}.")
+        return 0
 
     for idx, frame in enumerate(generate_frames(anim)):
         filename = os.path.join(out_path, frame_filename(basename, anim.n_frames, idx))

@@ -35,6 +35,14 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     )
     p.add_argument("--sharded", action="store_true", help="shard rays over all devices")
     p.add_argument("--stats", action="store_true", help="print per-render ray statistics")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="batch mode: skip scenes whose output PNG already exists",
+    )
+    p.add_argument(
+        "--profile", metavar="DIR", default="",
+        help="capture a jax.profiler trace of the renders into DIR",
+    )
     return p
 
 
@@ -52,13 +60,20 @@ def _load_stars(path: str):
     return grid
 
 
-def handle_scene(args, star_grid, outdir: str, filename: str) -> bool:
+def handle_scene(args, star_grid, outdir: str, filename: str, writer=None) -> bool:
     import numpy as np
 
     from blackstar_tpu.config import apply_preview, load_config
     from blackstar_tpu.imageio import write_png
 
     scene_name = os.path.splitext(os.path.basename(filename))[0]
+    if args.preview:
+        out_name = os.path.join(outdir, "prev-" + scene_name + ".png")
+    else:
+        out_name = os.path.join(outdir, scene_name + ".png")
+    if args.resume and os.path.exists(out_name):
+        print(f"Skipping {filename} ({out_name} exists).")
+        return True
     print(f"Reading {filename}...")
     try:
         cfg = load_config(filename)
@@ -92,9 +107,15 @@ def handle_scene(args, star_grid, outdir: str, filename: str) -> bool:
                 )
             )
 
-    out_name = os.path.join(outdir, scene_name + ".png")
     print(f"Saving to {out_name}...")
-    prompt_overwrite_file(out_name, lambda p: write_png(np.asarray(img), p), force=args.force)
+    if writer is not None and args.force and not os.path.exists(out_name):
+        # Batch mode with the native pool: hand the frame to a writer thread
+        # and start the next render immediately (keeps the device busy).
+        writer.submit(out_name, np.asarray(img))
+    else:
+        prompt_overwrite_file(
+            out_name, lambda p: write_png(np.asarray(img), p), force=args.force
+        )
     return True
 
 
@@ -133,22 +154,52 @@ def main(argv=None) -> int:
     outdir = normalize_path(args.output) if args.output else os.getcwd()
     os.makedirs(outdir, exist_ok=True)
 
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        profile_ctx = jax.profiler.trace(args.profile)
+
     filename = normalize_path(args.inputfile)
-    if os.path.isdir(filename):
-        print(f"{filename} is a directory. Rendering all scenes inside it...")
-        files = sorted(
-            os.path.join(filename, f)
-            for f in os.listdir(filename)
-            if f.endswith(".yaml")
-        )
-        for idx, scn in enumerate(files, 1):
-            clear_screen()
-            print(f"Batch mode progress: {idx}/{len(files)}")
-            handle_scene(args, star_grid, outdir, scn)
-    else:
-        handle_scene(args, star_grid, outdir, filename)
+    with profile_ctx:
+        if os.path.isdir(filename):
+            print(f"{filename} is a directory. Rendering all scenes inside it...")
+            files = sorted(
+                os.path.join(filename, f)
+                for f in os.listdir(filename)
+                if f.endswith(".yaml")
+            )
+            writer = _make_writer(args)
+            try:
+                for idx, scn in enumerate(files, 1):
+                    clear_screen()
+                    print(f"Batch mode progress: {idx}/{len(files)}")
+                    handle_scene(args, star_grid, outdir, scn, writer=writer)
+            finally:
+                if writer is not None:
+                    errors = writer.wait()
+                    writer.close()
+                    if errors:
+                        print(f"Warning: {errors} frame(s) failed to write.")
+        else:
+            handle_scene(args, star_grid, outdir, filename)
     print("Everything done. Thank you!")
     return 0
+
+
+def _make_writer(args):
+    """Async PNG pool for batch mode (needs the native lib and --force)."""
+    if not args.force:
+        return None
+    try:
+        from blackstar_tpu.native import AsyncFrameWriter, available
+
+        return AsyncFrameWriter(4) if available() else None
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

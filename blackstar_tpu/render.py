@@ -74,6 +74,7 @@ def run_march(
     *,
     differentiable: bool = False,
     use_pallas="auto",
+    image_shape=None,
 ):
     """Dispatch the geodesic march to the Pallas TPU kernel or the XLA path.
 
@@ -104,6 +105,7 @@ def run_march(
             disk_outer=params.disk.outer,
             disk_opacity=params.disk.opacity,
             disk_rgb=hsi_to_rgb(params.disk.color_hsi.astype(jnp.float32)),
+            image_shape=image_shape,
         )
     return march(pos0, vel0, params, static, safe, differentiable=differentiable)
 
@@ -124,6 +126,9 @@ def render(
     rw, rh = static.render_width, static.render_height
     pos0, vel0 = generate_rays(params.camera, rw, rh, dtype=dt)
 
+    # Note: no Z-order permutation (march_pallas image_shape) — measured as a
+    # net loss on v5e: the 2M-row gathers cost more than the extra tile
+    # coherence buys (per-ray step counts are near-uniform on real scenes).
     res = run_march(
         pos0,
         vel0,

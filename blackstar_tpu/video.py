@@ -1,0 +1,111 @@
+"""Whole-animation rendering: keyframes -> frames -> PNGs, device-resident.
+
+The reference renders animations via a YAML round-trip: ``animate`` expands
+keyframes into N scene files, the render CLI loops over them sequentially
+(app/Animate.hs + app/Main.hs:64-78). That surface is preserved in
+``blackstar_tpu.cli``; this module is the TPU-native fast path that skips it:
+camera interpolation happens on device (:func:`blackstar_tpu.animation.
+camera_at`), every frame reuses one compiled render, and finished frames are
+handed to the native async PNG pool so the chip never waits on IO.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, List, Optional
+
+import jax
+import numpy as np
+
+from blackstar_tpu.animation import Animation, camera_at, frame_filename, validate_keyframes
+from blackstar_tpu.config import Config, Scene
+
+
+def render_animation(
+    anim: Animation,
+    out_dir: str,
+    *,
+    star_grid=None,
+    basename: str = "frame",
+    preview: bool = False,
+    sharded: bool = False,
+    writer_threads: int = 4,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> List[str]:
+    """Render every frame of ``anim`` to ``out_dir``; returns the PNG paths.
+
+    One jit-compiled render function serves all frames (the camera is a
+    traced argument, so nothing retraces between frames); PNG encode/write
+    overlaps the next frame's render via the native pool when available.
+    """
+    from blackstar_tpu.ops.filters import bloom
+    from blackstar_tpu.render import render
+
+    validate_keyframes(sorted(anim.keyframes, key=lambda k: k.time))
+    os.makedirs(out_dir, exist_ok=True)
+
+    cfg = Config(scene=anim.scene, camera=anim.keyframes[0].camera)
+    if preview:
+        from blackstar_tpu.config import apply_preview
+
+        cfg = apply_preview(cfg)
+    base_params = cfg.params()
+    static = cfg.static()
+    grid = star_grid
+    if grid is not None and grid.pos.dtype != static.jdtype:
+        grid = grid.astype(static.jdtype)
+
+    if sharded:
+        from blackstar_tpu.parallel.render import render_sharded as _render
+
+    else:
+        _render = render
+
+    with_bloom = cfg.scene.bloom_strength != 0.0
+
+    @jax.jit
+    def frame_fn(params):
+        img = _render(params, static, grid)
+        if with_bloom:
+            img = bloom(img, params.bloom_strength, static.bloom_divider)
+        return img
+
+    n = anim.n_frames
+    ts = np.arange(n) / max(n - 1, 1)
+    cams = camera_at(anim.keyframes, ts)
+
+    writer = None
+    try:
+        from blackstar_tpu.native import AsyncFrameWriter, available
+
+        if available():
+            writer = AsyncFrameWriter(writer_threads)
+    except Exception:
+        writer = None
+
+    paths = []
+    try:
+        for i in range(n):
+            cam = jax.tree.map(lambda a: a[i], cams)
+            params = dataclasses.replace(base_params, camera=cam)
+            img = np.asarray(frame_fn(params))
+            path = os.path.join(
+                out_dir, frame_filename(basename, n, i).replace(".yaml", ".png")
+            )
+            if writer is not None:
+                writer.submit(path, img)
+            else:
+                from blackstar_tpu.imageio import write_png
+
+                write_png(img, path)
+            paths.append(path)
+            if progress is not None:
+                progress(i + 1, n)
+    finally:
+        if writer is not None:
+            errors = writer.wait()
+            writer.close()
+            if errors:
+                raise IOError(f"{errors} animation frame(s) failed to write")
+    return paths

@@ -1,0 +1,83 @@
+"""Tile/unroll sweep for the Pallas march kernel on real TPU hardware.
+
+Times the bare march (no star shading / filters) on the scenes/default.yaml
+workload. Also measures with several dispatches in flight to separate kernel
+time from the host-tunnel round-trip overhead.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from blackstar_tpu.camera import generate_rays
+from blackstar_tpu.color import hsi_to_rgb
+from blackstar_tpu.config import load_config
+from blackstar_tpu.ops.march_pallas import march_pallas
+from blackstar_tpu.render import safe_distance
+
+
+def main():
+    cfg = load_config("scenes/default.yaml")
+    params, static = cfg.params(), cfg.static()
+    pos0, vel0 = generate_rays(
+        params.camera, static.render_width, static.render_height, dtype=jnp.float32
+    )
+    n = static.n_rays
+    print(f"n_rays={n} max_steps={static.max_steps}")
+
+    def make(block_rows, unroll, zorder, disk_cond=True):
+        def f(v):
+            res = march_pallas(
+                pos0,
+                v,
+                step_size=static.step_size,
+                max_steps=static.max_steps,
+                mass=params.mass,
+                safe_distance=safe_distance(params, jnp.float32),
+                disk_on=static.disk_on,
+                disk_inner=params.disk.inner,
+                disk_outer=params.disk.outer,
+                disk_opacity=params.disk.opacity,
+                disk_rgb=hsi_to_rgb(params.disk.color_hsi.astype(jnp.float32)),
+                block_rows=block_rows,
+                unroll=unroll,
+                disk_cond=disk_cond,
+                image_shape=(static.render_height, static.render_width) if zorder else None,
+            )
+            return jnp.sum(res.acc_rgba), jnp.sum(res.status)
+
+        return jax.jit(f)
+
+    import itertools
+    for block_rows, unroll, disk_cond in itertools.product(
+        (64, 128), (8, 16), (True, False)
+    ):
+            f = make(block_rows, unroll, False, disk_cond)
+            try:
+                s, st = f(vel0)
+                s = float(s)
+            except Exception as e:
+                print(f"rows={block_rows:4d} unroll={unroll}  FAILED: {str(e)[:80]}")
+                continue
+            # Pipeline 4 dispatches, fetch once: amortises tunnel overhead.
+            reps = 4
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                outs = [f(vel0) for _ in range(reps)]
+                for o in outs:
+                    float(o[0])
+                ts.append((time.perf_counter() - t0) / reps)
+            best = min(ts)
+            print(
+                f"rows={block_rows:4d} unroll={unroll} cond={int(disk_cond)}  "
+                f"{best*1e3:7.1f} ms  {n/best/1e6:6.2f} Mrays/s  (checksum {s:.1f})"
+            )
+
+
+if __name__ == "__main__":
+    main()
