@@ -26,6 +26,11 @@ from blackstar_tpu.config import (
 from blackstar_tpu.render import render, render_rgb, render_image
 from blackstar_tpu.imageio import srgb_encode, to_uint8, write_png
 
+# Submodules imported lazily by most callers but re-exported for discovery:
+# blackstar_tpu.fit (scene fitting), .animation (keyframes), .video
+# (device-resident animation rendering), .parallel (mesh sharding),
+# .stars (catalogue + grid), .native (C++ IO runtime), .debug (checkify).
+
 __version__ = "0.1.0"
 
 __all__ = [

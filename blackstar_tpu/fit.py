@@ -75,6 +75,24 @@ def init_train_state(params: SceneParams, optimizer: optax.GradientTransformatio
     return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.int32(0))
 
 
+def save_params(params: SceneParams, path: str) -> None:
+    """Checkpoint a SceneParams pytree to ``.npz`` (resume support for long
+    fitting runs — the reference's only persistence is the star tree)."""
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(params)
+    np.savez(path, n=len(leaves), **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_params(path: str, like: SceneParams) -> SceneParams:
+    """Restore a SceneParams checkpoint (``like`` supplies the tree shape)."""
+    import numpy as np
+
+    z = np.load(path)
+    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(int(z["n"]))]
+    return jax.tree.unflatten(jax.tree.structure(like), leaves)
+
+
 def fit_scene(
     params: SceneParams,
     static: StaticConfig,

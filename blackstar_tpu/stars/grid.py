@@ -7,12 +7,26 @@ unvectorisable. Here the unit sphere is cut into declination rings of angular
 height ``cell_size`` with per-ring azimuthal columns of at most the same arc
 width. At *build* time (offline, like ``generate-tree``) every star is
 inserted into each cell whose region, expanded by the query radius, contains
-it — so a *lookup* is a single cell-id computation plus one fixed-size padded
-gather of at most K candidate stars, followed by the Gaussian PSF sum
-(StarMap.hs:93-115). All per-ray work is dense vector math on the VPU.
+it — so a *lookup* touches exactly one cell.
 
-Shading semantics match ``starLookup`` exactly: candidates within squared
-chordal distance (3w)² contribute
+Storage is a **dense per-cell table** ``cell_data`` of shape (C, K, 8):
+``[x, y, z, mag, H_r, H_g, H_b, valid]`` per candidate slot, sentinel-padded.
+A lookup is then ONE gather of N contiguous 32·K-byte rows followed by dense
+vector math — measured far faster on TPU than gathering K scattered star
+rows per ray.
+
+``H`` is the precomputed **HSI colour basis**: the HSI→RGB conversion is
+linear in intensity, ``rgb(h, s, i) = i·(1 + s·G(h))`` with ``G`` a
+hue-dependent 3-vector (per sector: a permutation of
+``(cr, 1−cr, −1)`` where ``cr = cos(a)/cos(π/3−a)``). Storing
+``H = s_star·G(h_star)`` per star removes *all* per-candidate
+transcendentals at lookup time — runtime shading is
+``rgb = val·(1 + starSaturation·H)``, algebraically identical to the
+reference's ``toPixelRGB (HSI h (sat·s) val)`` (StarMap.hs:114) and still
+differentiable in the saturation parameter.
+
+Shading semantics match ``starLookup`` exactly (StarMap.hs:93-115):
+candidates within squared chordal distance (3w)² contribute
 ``min(1, exp(ln2/50·(950 − mag) − d²/(2w²))) · starIntensity`` as HSI value
 with hue/saturation from the spectral class (saturation scaled by
 ``starSaturation``), converted to RGB, summed, and clamped to ≤ 1 per channel.
@@ -28,7 +42,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blackstar_tpu.color import hsi_to_rgb
 from blackstar_tpu.stars.catalog import Catalog
 
 # Constants from StarMap.hs:97-100.
@@ -37,7 +50,31 @@ DYNAMIC = 50.0  # magnitude change that doubles intensity
 PSF_WIDTH = 0.0005  # Gaussian width parameter w
 QUERY_RADIUS = 3.0 * PSF_WIDTH  # inRadius search radius (StarMap.hs:104)
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 3
+_ROW = 8  # floats per candidate slot: x y z mag H_r H_g H_b valid
+
+
+def rgb_basis(hue: np.ndarray, sat: np.ndarray) -> np.ndarray:
+    """Per-star colour basis H = s·G(h): HSI→RGB is rgb = i·(1 + H).
+
+    Mirrors :func:`blackstar_tpu.color.hsi_to_rgb` algebraically (float64,
+    build-time): sector cr = cos(a)/cos(π/3−a); G permutes (cr, 1−cr, −1).
+    """
+    hue = np.asarray(hue, np.float64)
+    sat = np.asarray(sat, np.float64)
+    hp = hue * 2.0 * np.pi
+    sector = np.clip(np.floor(hp / (2.0 * np.pi / 3.0)), 0, 2).astype(np.int64)
+    a = hp - sector * (2.0 * np.pi / 3.0)
+    cr = np.cos(a) / np.cos(np.pi / 3.0 - a)
+    first, third, second = cr, 1.0 - cr, np.full_like(cr, -1.0)
+    g = np.empty(hue.shape + (3,), np.float64)
+    for s_idx, perm in enumerate(((first, third, second),
+                                  (second, first, third),
+                                  (third, second, first))):
+        m = sector == s_idx
+        for c in range(3):
+            g[m, c] = perm[c][m]
+    return sat[..., None] * g
 
 
 @jax.tree_util.register_dataclass
@@ -46,37 +83,31 @@ class StarGrid:
     """Device-resident bucketed star table. A JAX pytree (array leaves),
     so it can be passed straight into jitted render functions."""
 
-    # Star data (S+1 rows; the last row is an inert sentinel).
-    pos: jax.Array  # (S+1, 3)
-    mag: jax.Array  # (S+1,)
-    hue: jax.Array  # (S+1,)
-    sat: jax.Array  # (S+1,)
-    # Bucket structure.
-    cell_idx: jax.Array  # (C, K) int32, sentinel = S
+    cell_data: jax.Array  # (C, K, 8) dense candidate slots, sentinel-padded
     n_cols: jax.Array  # (R,) int32 columns per declination ring
     row_start: jax.Array  # (R,) int32 first cell id of each ring
     # Static metadata.
     n_rings: int = dataclasses.field(metadata=dict(static=True))
+    n_stars: int = dataclasses.field(metadata=dict(static=True))
     psf_width: float = dataclasses.field(metadata=dict(static=True))
     radius: float = dataclasses.field(metadata=dict(static=True))
 
     @property
-    def n_stars(self) -> int:
-        return self.pos.shape[0] - 1
+    def pad_k(self) -> int:
+        return self.cell_data.shape[1]
 
     @property
-    def pad_k(self) -> int:
-        return self.cell_idx.shape[1]
+    def dtype(self):
+        return self.cell_data.dtype
+
+    # Backwards-compatible alias used by callers to pick the compute dtype.
+    @property
+    def pos(self) -> jax.Array:
+        return self.cell_data[..., 0:3]
 
     def astype(self, dtype) -> "StarGrid":
         dt = jnp.dtype(dtype)
-        return dataclasses.replace(
-            self,
-            pos=self.pos.astype(dt),
-            mag=self.mag.astype(dt),
-            hue=self.hue.astype(dt),
-            sat=self.sat.astype(dt),
-        )
+        return dataclasses.replace(self, cell_data=self.cell_data.astype(dt))
 
     def lookup(
         self,
@@ -84,13 +115,45 @@ class StarGrid:
         intensity: jnp.ndarray,
         saturation: jnp.ndarray,
         active: Optional[jnp.ndarray] = None,
+        chunk: int = 1 << 17,
     ) -> jnp.ndarray:
         """Celestial-sphere colour for ray directions ``vel`` (N, 3).
 
-        Vectorised ``starLookup`` (StarMap.hs:93-115): directions are
-        normalised, candidates gathered from the ray's bucket, and the
-        Gaussian point-spread sum evaluated with the reference's constants.
+        Vectorised ``starLookup`` (StarMap.hs:93-115). Large batches are
+        processed in ``chunk``-ray blocks via ``lax.map`` — the candidate
+        gather materialises (rays, K, 8) intermediates, which at full-frame
+        ray counts would exceed HBM if unchunked.
         """
+        n = vel.shape[0]
+        if n > chunk:
+            dt = vel.dtype
+            n_pad = -(-n // chunk) * chunk
+            velp = jnp.concatenate(
+                [vel, jnp.ones((n_pad - n, 3), dt)], axis=0
+            ).reshape(-1, chunk, 3)
+            if active is None:
+                act = jnp.ones((n_pad,), bool).at[n:].set(False)
+            else:
+                act = jnp.concatenate(
+                    [active, jnp.zeros((n_pad - n,), bool)], axis=0
+                )
+            act = act.reshape(-1, chunk)
+            out = jax.lax.map(
+                lambda args: self._lookup_block(
+                    args[0], intensity, saturation, args[1]
+                ),
+                (velp, act),
+            )
+            return out.reshape(n_pad, 3)[:n]
+        return self._lookup_block(vel, intensity, saturation, active)
+
+    def _lookup_block(
+        self,
+        vel: jnp.ndarray,
+        intensity: jnp.ndarray,
+        saturation: jnp.ndarray,
+        active: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         dt = vel.dtype
         n = vel.shape[0]
         if self.n_stars == 0:
@@ -115,24 +178,26 @@ class StarGrid:
         )
         cell = self.row_start[ring] + col
 
-        idx = self.cell_idx[cell]  # (N, K) — sentinel rows gather inert star
-        spos = self.pos[idx].astype(dt)  # (N, K, 3)
-        smag = self.mag[idx].astype(dt)
-        shue = self.hue[idx].astype(dt)
-        ssat = self.sat[idx].astype(dt)
+        # ONE contiguous-row gather per ray: (N, K, 8).
+        data = self.cell_data[cell].astype(dt)
+        spos = data[..., 0:3]
+        smag = data[..., 3]
+        sbasis = data[..., 4:7]  # H = s_star·G(h_star), see module docstring
+        svalid = data[..., 7] > 0.5
 
         diff = spos - nvel[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)  # squared chordal distance (qd)
 
         w = jnp.asarray(self.psf_width, dt)
-        within = (idx != self.n_stars) & (d2 <= (3.0 * w) ** 2)
+        within = svalid & (d2 <= (3.0 * w) ** 2)
         a = jnp.log(jnp.asarray(2.0, dt)) / DYNAMIC
         log_b = a * (MAX_BRIGHTNESS - smag) - d2 / (2.0 * w * w)
         val = jnp.minimum(1.0, jnp.exp(jnp.where(within, log_b, -jnp.inf)))
         val = val * intensity
 
-        hsi = jnp.stack([shue, saturation * ssat, val], axis=-1)
-        rgb = hsi_to_rgb(hsi)  # (N, K, 3); val==0 -> exact black
+        # rgb = val·(1 + saturation·H): the HSI→RGB of the reference, with
+        # the hue transcendentals folded into the build-time basis H.
+        rgb = val[..., None] * (1.0 + saturation * sbasis)
         out = jnp.sum(jnp.where(within[..., None], rgb, jnp.zeros((), dt)), axis=1)
         out = jnp.minimum(out, 1.0)  # per-channel clamp (StarMap.hs:115)
         if active is not None:
@@ -153,10 +218,26 @@ def _ring_layout(n_rings: int):
     return n_cols, row_start, int(n_cols.sum())
 
 
+def _pack_cells(catalog: Catalog, cells, stars, n_cells, k) -> np.ndarray:
+    """Dense (C, K, 8) candidate table from (cell, star) insertion pairs."""
+    data = np.zeros((n_cells, k, _ROW), np.float64)
+    # Sentinel slots: far away, infinitely dim, invalid.
+    data[..., 0:3] = 9.0
+    data[..., 3] = 1e9
+    if len(cells):
+        counts = np.bincount(cells, minlength=n_cells)
+        slot = np.arange(len(cells)) - np.concatenate([[0], np.cumsum(counts)[:-1]])[cells]
+        data[cells, slot, 0:3] = catalog.pos[stars]
+        data[cells, slot, 3] = catalog.mag[stars]
+        data[cells, slot, 4:7] = rgb_basis(catalog.hue, catalog.sat)[stars]
+        data[cells, slot, 7] = 1.0
+    return data
+
+
 def build_star_grid(
     catalog: Catalog,
     *,
-    cell_size: float = 0.02,
+    cell_size: float = 0.008,
     psf_width: float = PSF_WIDTH,
     radius: Optional[float] = None,
     dtype=jnp.float32,
@@ -179,10 +260,8 @@ def build_star_grid(
     pos = np.asarray(catalog.pos, np.float64)
     s = pos.shape[0]
     if s == 0:
-        cell_idx = np.zeros((n_cells, 1), np.int32)
-        return _grid_from_arrays(
-            catalog, cell_idx, n_cols, row_start, n_rings, psf_width, r, dtype
-        )
+        data = _pack_cells(catalog, np.zeros(0, np.int64), np.zeros(0, np.int64), n_cells, 1)
+        return _grid_from_arrays(data, n_cols, row_start, n_rings, 0, psf_width, r, dtype)
 
     z = np.clip(pos[:, 2], -1.0, 1.0)
     dec = np.arcsin(z)
@@ -238,32 +317,17 @@ def build_star_grid(
     cells, stars = cells[order], stars[order]
     counts = np.bincount(cells, minlength=n_cells)
     k = max(1, int(counts.max()))
-    cell_idx = np.full((n_cells, k), s, np.int64)
-    slot = np.arange(len(cells)) - np.concatenate([[0], np.cumsum(counts)[:-1]])[cells]
-    cell_idx[cells, slot] = stars
-
-    return _grid_from_arrays(
-        catalog, cell_idx, n_cols, row_start, n_rings, psf_width, r, dtype
-    )
+    data = _pack_cells(catalog, cells, stars, n_cells, k)
+    return _grid_from_arrays(data, n_cols, row_start, n_rings, s, psf_width, r, dtype)
 
 
-def _grid_from_arrays(catalog, cell_idx, n_cols, row_start, n_rings, psf_width, radius, dtype):
-    dt = jnp.dtype(dtype)
-    s = catalog.pos.shape[0]
-    # Sentinel star: far away, infinitely dim.
-    pos = np.concatenate([np.asarray(catalog.pos, np.float64), [[9.0, 9.0, 9.0]]])
-    mag = np.concatenate([np.asarray(catalog.mag, np.float64), [1e9]])
-    hue = np.concatenate([np.asarray(catalog.hue, np.float64), [0.0]])
-    sat = np.concatenate([np.asarray(catalog.sat, np.float64), [0.0]])
+def _grid_from_arrays(data, n_cols, row_start, n_rings, n_stars, psf_width, radius, dtype):
     return StarGrid(
-        pos=jnp.asarray(pos, dt),
-        mag=jnp.asarray(mag, dt),
-        hue=jnp.asarray(hue, dt),
-        sat=jnp.asarray(sat, dt),
-        cell_idx=jnp.asarray(cell_idx, jnp.int32),
+        cell_data=jnp.asarray(data, jnp.dtype(dtype)),
         n_cols=jnp.asarray(n_cols, jnp.int32),
         row_start=jnp.asarray(row_start, jnp.int32),
         n_rings=int(n_rings),
+        n_stars=int(n_stars),
         psf_width=float(psf_width),
         radius=float(radius),
     )
@@ -274,14 +338,11 @@ def save_star_grid(grid: StarGrid, path: str) -> None:
     np.savez_compressed(
         path,
         version=_FORMAT_VERSION,
-        pos=np.asarray(grid.pos, np.float64),
-        mag=np.asarray(grid.mag, np.float64),
-        hue=np.asarray(grid.hue, np.float64),
-        sat=np.asarray(grid.sat, np.float64),
-        cell_idx=np.asarray(grid.cell_idx, np.int32),
+        cell_data=np.asarray(grid.cell_data, np.float64),
         n_cols=np.asarray(grid.n_cols, np.int32),
         row_start=np.asarray(grid.row_start, np.int32),
         n_rings=grid.n_rings,
+        n_stars=grid.n_stars,
         psf_width=grid.psf_width,
         radius=grid.radius,
     )
@@ -290,17 +351,16 @@ def save_star_grid(grid: StarGrid, path: str) -> None:
 def load_star_grid(path: str, dtype=jnp.float32) -> StarGrid:
     z = np.load(path)
     if int(z["version"]) != _FORMAT_VERSION:
-        raise ValueError(f"unsupported star-grid format version {int(z['version'])}")
-    dt = jnp.dtype(dtype)
+        raise ValueError(
+            f"unsupported star-grid format version {int(z['version'])} "
+            f"(expected {_FORMAT_VERSION}; rebuild with generate-grid)"
+        )
     return StarGrid(
-        pos=jnp.asarray(z["pos"], dt),
-        mag=jnp.asarray(z["mag"], dt),
-        hue=jnp.asarray(z["hue"], dt),
-        sat=jnp.asarray(z["sat"], dt),
-        cell_idx=jnp.asarray(z["cell_idx"], jnp.int32),
+        cell_data=jnp.asarray(z["cell_data"], jnp.dtype(dtype)),
         n_cols=jnp.asarray(z["n_cols"], jnp.int32),
         row_start=jnp.asarray(z["row_start"], jnp.int32),
         n_rings=int(z["n_rings"]),
+        n_stars=int(z["n_stars"]),
         psf_width=float(z["psf_width"]),
         radius=float(z["radius"]),
     )

@@ -146,6 +146,18 @@ def test_fit_recovers_disk_outer():
     assert abs(float(fitted.disk.outer) - 13.0) < abs(11.0 - 13.0)
 
 
+def test_param_checkpoint_round_trip(tmp_path):
+    from blackstar_tpu.fit import load_params, save_params
+
+    cfg = _cfg()
+    p = cfg.params()
+    path = str(tmp_path / "ckpt.npz")
+    save_params(p, path)
+    q = load_params(path, p)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(q)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_step_shapes_and_finiteness():
     cfg = _cfg(res=(8, 5), diskOpacity=0.95)
     static = cfg.static()
