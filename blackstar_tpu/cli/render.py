@@ -43,6 +43,11 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
         "--profile", metavar="DIR", default="",
         help="capture a jax.profiler trace of the renders into DIR",
     )
+    p.add_argument(
+        "--shard-scenes", metavar="I/N", default="",
+        help="batch mode across hosts: render only scenes i, i+N, i+2N, ... "
+        "(e.g. --shard-scenes 0/4 on host 0 of 4)",
+    )
     return p
 
 
@@ -172,6 +177,14 @@ def main(argv=None) -> int:
                 for f in os.listdir(filename)
                 if f.endswith(".yaml")
             )
+            if args.shard_scenes:
+                # Frame-parallel batch across hosts (the reference's manual
+                # multi-node workflow, README.md:89-93, made a flag).
+                i, n = (int(v) for v in args.shard_scenes.split("/"))
+                if not 0 <= i < n:
+                    print(f"invalid --shard-scenes {args.shard_scenes}")
+                    return 2
+                files = files[i::n]
             writer = _make_writer(args)
             try:
                 for idx, scn in enumerate(files, 1):

@@ -51,12 +51,28 @@ def image_loss(
     return jnp.mean((img - target.astype(img.dtype)) ** 2)
 
 
+def trainable_mask(params: SceneParams, predicate) -> SceneParams:
+    """A 0/1 pytree selecting which parameter leaves to optimise.
+
+    ``predicate`` receives the dotted leaf path (e.g. ``".disk.outer"``,
+    ``".camera.fov"``) and returns True for trainable leaves. Used to freeze
+    degenerate directions (e.g. mass and fov both scale apparent size).
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = [
+        (jnp.ones_like(v) if predicate("".join(str(k) for k in path)) else jnp.zeros_like(v))
+        for path, v in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def make_train_step(
     static: StaticConfig,
     optimizer: optax.GradientTransformation,
     star_grid=None,
     *,
     mesh=None,
+    grad_mask: Optional[SceneParams] = None,
 ):
     """Build a jittable ``(state, target) -> (state, loss)`` update step."""
 
@@ -64,6 +80,8 @@ def make_train_step(
         loss, grads = jax.value_and_grad(image_loss)(
             state.params, static, target, star_grid, mesh=mesh
         )
+        if grad_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -105,16 +123,18 @@ def fit_scene(
     mesh=None,
     jit: bool = True,
     callback=None,
+    grad_mask: Optional[SceneParams] = None,
 ):
     """Gradient-descend scene parameters toward a target image.
 
     Returns ``(params, losses)``. This is the end-to-end capability the
     forward-only reference cannot express: recovering camera pose / disk
-    shape / black-hole mass from an observed render.
+    shape / black-hole mass from an observed render. ``grad_mask`` (see
+    :func:`trainable_mask`) restricts which leaves move.
     """
     opt = optimizer or optax.adam(learning_rate)
     state = init_train_state(params, opt)
-    step_fn = make_train_step(static, opt, star_grid, mesh=mesh)
+    step_fn = make_train_step(static, opt, star_grid, mesh=mesh, grad_mask=grad_mask)
     if jit:
         step_fn = jax.jit(step_fn)
     losses = []

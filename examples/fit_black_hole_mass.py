@@ -1,0 +1,120 @@
+"""Inverse rendering demo: recover black-hole mass + disk shape from pixels.
+
+Renders a ground-truth image of scenes/default.yaml, perturbs the
+Schwarzschild radius (mass), disk radii and camera fov, then gradient-descends
+the scene parameters until the render matches — the capability that motivates
+the differentiable TPU redesign (the reference renderer is forward-only and
+hard-codes rs = 1).
+
+Run:  python examples/fit_black_hole_mass.py [--steps 150] [--preview]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=250)
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--out", default="fit_progress.png")
+    args = ap.parse_args()
+
+    from blackstar_tpu.config import Config
+    from blackstar_tpu.fit import fit_scene
+    from blackstar_tpu.imageio import write_png
+    from blackstar_tpu.render import render
+
+    cfg = Config.from_dict(
+        {
+            "camera": {
+                "position": [0, 1, -20],
+                "lookAt": [2, 0, 0],
+                "upVec": [-0.2, 1, 0],
+                "fov": 1.5,
+            },
+            "scene": {
+                "resolution": [96, 54],
+                "diskOpacity": 0.95,
+                "diskInner": 1.8,
+                "diskOuter": 13.0,
+                "maxSteps": 400,
+                "dtype": "float32",
+            },
+        }
+    )
+    static = cfg.static()
+    truth = cfg.params()
+    print("Rendering ground truth...")
+    target = render(truth, static, differentiable=True)
+
+    # Perturb what we'll recover. (Mass and fov are nearly degenerate at low
+    # resolution — both scale the apparent size — so the demo keeps fov
+    # fixed at truth and recovers the physical parameters.)
+    start = dataclasses.replace(
+        truth,
+        mass=jnp.asarray(1.25, jnp.float32),
+        disk=dataclasses.replace(
+            truth.disk,
+            inner=jnp.asarray(2.6, jnp.float32),
+            outer=jnp.asarray(10.5, jnp.float32),
+        ),
+    )
+
+    def report(i, state, loss):
+        if i % 10 == 0 or i == args.steps - 1:
+            p = state.params
+            print(
+                f"step {i:4d} loss {loss:.3e}  mass {float(p.mass):.4f} "
+                f"inner {float(p.disk.inner):.3f} outer {float(p.disk.outer):.3f} "
+                f"fov {float(p.camera.fov):.4f}"
+            )
+
+    from blackstar_tpu.fit import trainable_mask
+
+    mask = trainable_mask(
+        start, lambda p: p in (".mass", ".disk.inner", ".disk.outer")
+    )
+    schedule = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
+    fitted, losses = fit_scene(
+        start,
+        static,
+        target,
+        steps=args.steps,
+        optimizer=optax.adam(schedule),
+        callback=report,
+        grad_mask=mask,
+    )
+
+    print("\n          truth   start   fitted")
+    rows = [
+        ("mass", 1.0, 1.25, float(fitted.mass)),
+        ("diskInner", 1.8, 2.6, float(fitted.disk.inner)),
+        ("diskOuter", 13.0, 10.5, float(fitted.disk.outer)),
+    ]
+    for name, t, s, f in rows:
+        print(f"{name:>10}  {t:6.3f}  {s:6.3f}  {f:6.3f}")
+
+    side = np.concatenate(
+        [
+            np.asarray(render(start, static)),
+            np.asarray(render(fitted, static)),
+            np.asarray(target),
+        ],
+        axis=1,
+    )
+    write_png(side, args.out)
+    print(f"\nstart | fitted | target -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

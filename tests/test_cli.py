@@ -125,6 +125,28 @@ class TestRender:
                             "--starmap", str(tmp_path / "absent.npz")]) == 0
         assert (out / "a.png").exists() and (out / "b.png").exists()
 
+    def test_shard_scenes(self, tmp_path):
+        scenes = tmp_path / "scenes"
+        scenes.mkdir()
+        for name in ("a", "b", "c", "d"):
+            _write_scene(scenes / f"{name}.yaml", diskOpacity=0.9)
+        out = tmp_path / "out"
+        assert render_main([str(scenes), "-o", str(out), "--force",
+                            "--shard-scenes", "1/2",
+                            "--starmap", str(tmp_path / "absent.npz")]) == 0
+        assert sorted(os.listdir(out)) == ["b.png", "d.png"]
+
+    def test_resume_skips_existing(self, tmp_path):
+        scn = tmp_path / "tiny.yaml"
+        _write_scene(scn, diskOpacity=0.9)
+        out = tmp_path / "out"
+        out.mkdir()
+        (out / "tiny.png").write_bytes(b"placeholder")
+        assert render_main([str(scn), "-o", str(out), "--force", "--resume",
+                            "--starmap", str(tmp_path / "absent.npz")]) == 0
+        # Existing output untouched.
+        assert (out / "tiny.png").read_bytes() == b"placeholder"
+
     def test_bloom_applied(self, tmp_path):
         scn = tmp_path / "glow.yaml"
         _write_scene(scn, diskOpacity=0.9, bloomStrength=0.5, bloomDivider=4)

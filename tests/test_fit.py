@@ -146,6 +146,32 @@ def test_fit_recovers_disk_outer():
     assert abs(float(fitted.disk.outer) - 13.0) < abs(11.0 - 13.0)
 
 
+def test_trainable_mask_freezes_leaves():
+    """Masked leaves must not move during fitting; unmasked ones must."""
+    from blackstar_tpu.fit import trainable_mask
+
+    cfg = _cfg(res=(8, 5), diskOpacity=0.95, maxSteps=100)
+    static = cfg.static()
+    truth = cfg.params()
+    target = render(truth, static, differentiable=True)
+    start = dataclasses.replace(
+        truth, disk=dataclasses.replace(truth.disk, outer=jnp.float64(11.0))
+    )
+    mask = trainable_mask(start, lambda p: p == ".disk.outer")
+    fitted, _ = fit_scene(
+        start, static, target, steps=8, learning_rate=0.05, grad_mask=mask
+    )
+    # Only disk.outer moved.
+    assert float(fitted.disk.outer) != 11.0
+    np.testing.assert_array_equal(np.asarray(fitted.mass), np.asarray(start.mass))
+    np.testing.assert_array_equal(
+        np.asarray(fitted.camera.position), np.asarray(start.camera.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fitted.disk.inner), np.asarray(start.disk.inner)
+    )
+
+
 def test_param_checkpoint_round_trip(tmp_path):
     from blackstar_tpu.fit import load_params, save_params
 

@@ -36,6 +36,9 @@ def test_scene_matches_oracle(path):
         bloom_strength=0.0,
     )
     cfg = Config(scene=scene, camera=cfg.camera)
-    got = np.asarray(render(cfg.params(), cfg.static()))
+    got, stats = render(cfg.params(), cfg.static(), with_stats=True)
+    # The derived step cap must not truncate any ray on any reference scene
+    # (SURVEY §7 "hard parts": termination -> fixed steps).
+    assert float(stats.truncated_frac) == 0.0
     want = oracle.render(cfg, None)
-    np.testing.assert_allclose(got, want, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-7)
