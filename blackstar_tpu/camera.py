@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from blackstar_tpu.config import CameraParams
@@ -67,6 +68,37 @@ def generate_rays(
     )  # (H, W, 3)
     vel = _normalize(dirs).reshape(height * width, 3)
     return pos, vel
+
+
+def generate_ray_components(
+    cam: CameraParams, width: int, height: int, dtype=jnp.float32
+):
+    """Like :func:`generate_rays` but returns ``(pos, (vx, vy, vz))`` with
+    flat (H·W,) per-component direction arrays.
+
+    The Pallas march keeps ray state as separate component planes; producing
+    them directly avoids materialising an (N, 3) array and the three strided
+    column extracts when feeding the kernel.
+    """
+    dt = jnp.dtype(dtype)
+    pos = cam.position.astype(dt)
+    fov = cam.fov.astype(dt)
+    rot = look_at_rotation(cam.position, cam.look_at, cam.up).astype(dt)
+
+    w = jnp.asarray(width, dt)
+    h = jnp.asarray(height, dt)
+    xs = jnp.arange(width, dtype=dt)
+    ys = jnp.arange(height, dtype=dt)
+    cx = fov * (xs / w - 0.5)[None, :]  # (1, W)
+    cy = (fov * (0.5 - ys / h) * h / w)[:, None]  # (H, 1)
+
+    xa, ya, nza = rot[0], rot[1], rot[2]
+    dx = cx * xa[0] + cy * ya[0] - nza[0]
+    dy = cx * xa[1] + cy * ya[1] - nza[1]
+    dz = cx * xa[2] + cy * ya[2] - nza[2]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    n = height * width
+    return pos, ((dx * inv).reshape(n), (dy * inv).reshape(n), (dz * inv).reshape(n))
 
 
 def generate_rays_at(

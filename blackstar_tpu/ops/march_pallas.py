@@ -247,9 +247,12 @@ def _march_kernel(
                 + 2 * hit_horizon.astype(jnp.int32)
                 + hit_escape.astype(jnp.int32)
             )
-            px = jnp.where(cont, npx, px)
-            py = jnp.where(cont, npy, py)
-            pz = jnp.where(cont, npz, pz)
+            # Only vel (the escape direction output) and r²/acc/status are
+            # frozen on termination; positions run free — dead-lane positions
+            # are never read (not an output; classification uses the frozen
+            # r2cur; disk math selects through hit-masked values), so any
+            # dead-lane overflow/NaN is contained. Saves three selects/step.
+            px, py, pz = npx, npy, npz
             vx = jnp.where(cont, nvx, vx)
             vy = jnp.where(cont, nvy, vy)
             vz = jnp.where(cont, nvz, vz)
@@ -295,35 +298,45 @@ def march_pallas(
     image_shape: Optional[Tuple[int, int]] = None,
     interpret: bool = False,
 ) -> MarchResult:
-    """Forward-only Pallas march over (N, 3) ray directions.
+    """Forward-only Pallas march over ray directions.
 
-    ``pos0`` is the shared (3,) camera position. Semantics identical to
-    :func:`blackstar_tpu.geodesic.march` (non-differentiable path); padding
-    rays (to a whole number of tiles) are marched with lane 0's direction and
-    discarded. When ``image_shape=(H, W)`` is given (rays in row-major pixel
-    order), rays are marched in Z-order for tile spatial coherence and the
-    results un-permuted — output order is unchanged.
+    ``vel0`` is either an (N, 3) array or a tuple of three flat (N,)
+    component arrays (``camera.generate_ray_components`` output — avoids
+    strided column extracts). ``pos0`` is the shared (3,) camera position.
+    Semantics identical to :func:`blackstar_tpu.geodesic.march`
+    (non-differentiable path); padding rays (to a whole number of tiles) are
+    marched with lane 0's direction and discarded. When
+    ``image_shape=(H, W)`` is given (rays in row-major pixel order), rays
+    are marched in Z-order for tile spatial coherence and the results
+    un-permuted — output order is unchanged.
     """
-    n = vel0.shape[0]
     f32 = jnp.float32
-    vel0 = vel0.astype(f32)
-
-    inv_perm = None
-    if image_shape is not None and n == image_shape[0] * image_shape[1]:
-        perm, inv_perm = zorder_permutation(*image_shape)
-        vel0 = vel0[perm]
+    if isinstance(vel0, (tuple, list)):
+        comps = [v.astype(f32) for v in vel0]
+        n = comps[0].shape[0]
+        inv_perm = None
+    else:
+        vel0 = vel0.astype(f32)
+        n = vel0.shape[0]
+        inv_perm = None
+        if image_shape is not None and n == image_shape[0] * image_shape[1]:
+            perm, inv_perm = zorder_permutation(*image_shape)
+            vel0 = vel0[perm]
+        comps = [vel0[:, 0], vel0[:, 1], vel0[:, 2]]
 
     tile = block_rows * LANES
     n_pad = -(-n // tile) * tile
     if n_pad != n:
-        pad = jnp.broadcast_to(vel0[:1], (n_pad - n, 3)).astype(f32)
-        vel0 = jnp.concatenate([vel0, pad], axis=0)
+        comps = [
+            jnp.concatenate([c, jnp.broadcast_to(c[:1], (n_pad - n,))])
+            for c in comps
+        ]
     rows = n_pad // LANES
     grid = rows // block_rows
 
-    vx = vel0[:, 0].reshape(rows, LANES)
-    vy = vel0[:, 1].reshape(rows, LANES)
-    vz = vel0[:, 2].reshape(rows, LANES)
+    vx = comps[0].reshape(rows, LANES)
+    vy = comps[1].reshape(rows, LANES)
+    vz = comps[2].reshape(rows, LANES)
 
     scal = jnp.stack(
         [

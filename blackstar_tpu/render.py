@@ -66,6 +66,17 @@ def shade(res, params: SceneParams, star_grid, dt) -> jnp.ndarray:
     return acc[:, :3] + bottom * (1.0 - acc[:, 3:4])
 
 
+def pallas_eligible(static: StaticConfig, differentiable: bool) -> bool:
+    """The Pallas kernel is valid and profitable exactly when: forward-only
+    (the backward pass needs the checkpointed scan), float32 (TPU compute
+    dtype), on a TPU backend."""
+    return (
+        not differentiable
+        and static.jdtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    )
+
+
 def run_march(
     pos0,
     vel0,
@@ -78,16 +89,11 @@ def run_march(
 ):
     """Dispatch the geodesic march to the Pallas TPU kernel or the XLA path.
 
-    ``use_pallas='auto'`` picks the kernel exactly when it is valid and
-    profitable: forward-only (the backward pass needs the checkpointed scan),
-    float32 (TPU compute dtype), on a TPU backend.
+    ``vel0`` may be an (N, 3) array (either path) or a tuple of three flat
+    component arrays (Pallas path only).
     """
     if use_pallas == "auto":
-        use_pallas = (
-            not differentiable
-            and static.jdtype == jnp.float32
-            and jax.default_backend() == "tpu"
-        )
+        use_pallas = pallas_eligible(static, differentiable)
     safe = safe_distance(params, static.jdtype)
     if use_pallas:
         from blackstar_tpu.color import hsi_to_rgb
@@ -107,6 +113,8 @@ def run_march(
             disk_rgb=hsi_to_rgb(params.disk.color_hsi.astype(jnp.float32)),
             image_shape=image_shape,
         )
+    if isinstance(vel0, (tuple, list)):
+        vel0 = jnp.stack(vel0, axis=-1)
     return march(pos0, vel0, params, static, safe, differentiable=differentiable)
 
 
@@ -124,7 +132,14 @@ def render(
     """
     dt = static.jdtype
     rw, rh = static.render_width, static.render_height
-    pos0, vel0 = generate_rays(params.camera, rw, rh, dtype=dt)
+    if use_pallas is True or (use_pallas == "auto" and pallas_eligible(static, differentiable)):
+        # Component-planes form feeds the kernel without an (N, 3)
+        # materialisation + strided column extracts.
+        from blackstar_tpu.camera import generate_ray_components
+
+        pos0, vel0 = generate_ray_components(params.camera, rw, rh, dtype=dt)
+    else:
+        pos0, vel0 = generate_rays(params.camera, rw, rh, dtype=dt)
 
     # Note: no Z-order permutation (march_pallas image_shape) — measured as a
     # net loss on v5e: the 2M-row gathers cost more than the extra tile
