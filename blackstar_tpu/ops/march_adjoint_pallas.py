@@ -1,0 +1,366 @@
+"""Pallas TPU kernel for the march *adjoint* (reverse-mode gradients).
+
+The autodiff backward of the checkpointed-scan march streams the full ray
+state through HBM on every step of both the replayed forward and the reverse
+sweep, and cannot early-exit. This kernel keeps everything in VMEM:
+
+  Phase A  forward replay from the inputs, checkpointing the (pos, vel,
+           alpha, status) state every ``seg_len`` steps into a VMEM buffer,
+           with whole-tile early exit (segments after every ray terminates
+           are identity for the adjoint and are skipped exactly);
+  Phase B  for each segment, newest first: re-run the ``seg_len`` primal
+           steps from the checkpoint storing each pre-step state, then apply
+           the hand-derived step VJP (ops/march_vjp.step_vjp — validated
+           against jax.grad of the XLA march) in reverse order.
+
+Per-ray parameter partials (coef/disk) accumulate as vectors and reduce to
+per-tile scalars once at the end; the h² = |pos₀×vel₀|² chain closes inside
+the kernel. HBM traffic: inputs + cotangents in, gradients out — nothing
+per-step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blackstar_tpu.ops.march_pallas import (
+    LANES,
+    _S_DISK_B,
+    _S_DISK_G,
+    _S_DISK_R,
+    _S_H,
+    _S_INNER,
+    _S_INNER2,
+    _S_MASS,
+    _S_OPACITY,
+    _S_OUTER,
+    _S_OUTER2,
+    _S_SAFE,
+)
+from blackstar_tpu.ops.march_vjp import AdjointCarry, Dot3, StepConsts, step_primal, step_vjp
+
+ADJ_BLOCK_ROWS = 8  # 1024 rays/tile keeps checkpoints + segment buffer small
+ADJ_SEG_LEN = 16  # steps per checkpoint segment
+
+# Lane layout of the per-tile scalar-partials output row.
+G_MASS = 0
+G_INNER = 1
+G_OUTER = 2
+G_OPACITY = 3
+G_RGB0 = 4
+G_RGB1 = 5
+G_RGB2 = 6
+G_POS0X = 7
+G_POS0Y = 8
+G_POS0Z = 9
+N_SCALAR_GRADS = 10
+
+
+def _adjoint_kernel(
+    scal_ref,  # SMEM (11,) f32 — same layout as the forward kernel
+    cap_ref,  # SMEM (1,) i32
+    p0_ref,  # SMEM (3,) f32
+    vx_ref, vy_ref, vz_ref,  # VMEM (R,128) initial directions
+    cvx_ref, cvy_ref, cvz_ref,  # VMEM cotangents of the final velocity
+    car_ref, cag_ref, cab_ref, caa_ref,  # VMEM cotangents of acc RGBA
+    gvx_ref, gvy_ref, gvz_ref,  # VMEM out: d/d(vel0) planes
+    gs_ref,  # VMEM out (1, 128): per-tile scalar partials
+    ck_px, ck_py, ck_pz, ck_vx, ck_vy, ck_vz, ck_aa, ck_st,  # scratch ckpts
+    sb_px, sb_py, sb_pz, sb_vx, sb_vy, sb_vz, sb_aa, sb_st,  # scratch segbuf
+    *,
+    disk_on: bool,
+    seg_len: int,
+    n_seg_max: int,
+):
+    h = scal_ref[_S_H]
+    mass = scal_ref[_S_MASS]
+
+    p0x, p0y, p0z = p0_ref[0], p0_ref[1], p0_ref[2]
+    vx, vy, vz = vx_ref[:], vy_ref[:], vz_ref[:]
+    shape = vx.shape
+    cap = cap_ref[0]
+
+    # h² = |p0×v|² and the per-ray RHS coefficient (Raytracer.hs:73,124).
+    cx = p0y * vz - p0z * vy
+    cy = p0z * vx - p0x * vz
+    cz = p0x * vy - p0y * vx
+    h2 = cx * cx + cy * cy + cz * cz
+    consts = StepConsts(
+        h=h,
+        coef=-1.5 * mass * h2,
+        rs2=mass * mass,
+        safe=scal_ref[_S_SAFE],
+        in2=scal_ref[_S_INNER2],
+        out2=scal_ref[_S_OUTER2],
+        mid=0.5 * (scal_ref[_S_INNER2] + scal_ref[_S_OUTER2]),
+        inner=scal_ref[_S_INNER],
+        outer=scal_ref[_S_OUTER],
+        opacity=scal_ref[_S_OPACITY],
+        rgb0=scal_ref[_S_DISK_R],
+        rgb1=scal_ref[_S_DISK_G],
+        rgb2=scal_ref[_S_DISK_B],
+    )
+
+    # ---- Phase A: forward replay with VMEM checkpoints ----------------------
+    # Initial state round-trips through the checkpoint buffers so every
+    # loop-carried value has a concrete (non-replicated) vector layout.
+    ck_px[0] = jnp.full(shape, p0x)
+    ck_py[0] = jnp.full(shape, p0y)
+    ck_pz[0] = jnp.full(shape, p0z)
+    ck_vx[0] = vx
+    ck_vy[0] = vy
+    ck_vz[0] = vz
+    ck_aa[0] = jnp.zeros(shape, jnp.float32)
+    ck_st[0] = jnp.zeros(shape, jnp.int32)
+
+    def a_cond(carry):
+        seg, _, _, _, _, _, _, _, status = carry
+        return jnp.logical_and(
+            jnp.logical_and(seg < n_seg_max, seg * seg_len < cap),
+            jnp.any(status == 0),
+        )
+
+    def a_body(carry):
+        seg, px, py, pz, wx, wy, wz, aa, status = carry
+        p = Dot3(px, py, pz)
+        v = Dot3(wx, wy, wz)
+        for j in range(seg_len):
+            valid = seg * seg_len + j < cap
+            p, v, aa, status = step_primal(p, v, aa, status, consts, valid,
+                                           disk_on=disk_on)
+        seg = seg + 1
+        ck_px[seg] = p.x
+        ck_py[seg] = p.y
+        ck_pz[seg] = p.z
+        ck_vx[seg] = v.x
+        ck_vy[seg] = v.y
+        ck_vz[seg] = v.z
+        ck_aa[seg] = aa
+        ck_st[seg] = status
+        return (seg, p.x, p.y, p.z, v.x, v.y, v.z, aa, status)
+
+    init_a = (
+        jnp.int32(0),
+        ck_px[0], ck_py[0], ck_pz[0],
+        ck_vx[0], ck_vy[0], ck_vz[0],
+        ck_aa[0], ck_st[0],
+    )
+    t_segs = jax.lax.while_loop(a_cond, a_body, init_a)[0]
+
+    # ---- Phase B: reverse sweep ---------------------------------------------
+    # Concrete-layout zero for the freshly-initialised cotangent carries.
+    gvx_ref[:] = jnp.zeros(shape, jnp.float32)
+    zero_c = gvx_ref[:]
+
+    def b_cond(carry):
+        return carry[0] > 0
+
+    def b_body(carry):
+        (seg, pbx, pby, pbz, vbx, vby, vbz,
+         arb, agb, abb, aab, cfb, ib, ob, opb, r0b, r1b, r2b) = carry
+        seg = seg - 1
+        p = Dot3(ck_px[seg], ck_py[seg], ck_pz[seg])
+        v = Dot3(ck_vx[seg], ck_vy[seg], ck_vz[seg])
+        aa = ck_aa[seg]
+        status = ck_st[seg]
+        # Replay the segment, storing every pre-step state.
+        for j in range(seg_len):
+            sb_px[j] = p.x
+            sb_py[j] = p.y
+            sb_pz[j] = p.z
+            sb_vx[j] = v.x
+            sb_vy[j] = v.y
+            sb_vz[j] = v.z
+            sb_aa[j] = aa
+            sb_st[j] = status
+            valid = seg * seg_len + j < cap
+            p, v, aa, status = step_primal(p, v, aa, status, consts, valid,
+                                           disk_on=disk_on)
+        carry_adj = AdjointCarry(
+            pbar=Dot3(pbx, pby, pbz),
+            vbar=Dot3(vbx, vby, vbz),
+            arbar=arb, agbar=agb, abbar=abb, aabar=aab,
+            coef_bar=cfb,
+            inner_bar=ib, outer_bar=ob, opacity_bar=opb,
+            rgb0_bar=r0b, rgb1_bar=r1b, rgb2_bar=r2b,
+        )
+        for j in range(seg_len - 1, -1, -1):
+            pre_p = Dot3(sb_px[j], sb_py[j], sb_pz[j])
+            pre_v = Dot3(sb_vx[j], sb_vy[j], sb_vz[j])
+            valid = seg * seg_len + j < cap
+            carry_adj = step_vjp(
+                pre_p, pre_v, sb_aa[j], sb_st[j], consts, valid, carry_adj,
+                disk_on=disk_on,
+            )
+        ca = carry_adj
+        return (seg, ca.pbar.x, ca.pbar.y, ca.pbar.z,
+                ca.vbar.x, ca.vbar.y, ca.vbar.z,
+                ca.arbar, ca.agbar, ca.abbar, ca.aabar, ca.coef_bar,
+                ca.inner_bar, ca.outer_bar, ca.opacity_bar,
+                ca.rgb0_bar, ca.rgb1_bar, ca.rgb2_bar)
+
+    init_b = (
+        t_segs,
+        zero_c, zero_c, zero_c,  # p̄
+        cvx_ref[:], cvy_ref[:], cvz_ref[:],  # v̄ seeded from the vel cotangent
+        car_ref[:], cag_ref[:], cab_ref[:], caa_ref[:],
+        zero_c,  # c̄oef
+        zero_c, zero_c, zero_c,  # inner/outer/opacity partials
+        zero_c, zero_c, zero_c,  # rgb partials
+    )
+    final = jax.lax.while_loop(b_cond, b_body, init_b)
+    (_, pbx, pby, pbz, vbx, vby, vbz,
+     _, _, _, _, cfb, ib, ob, opb, r0b, r1b, r2b) = final
+
+    # ---- close the h² chain and write outputs -------------------------------
+    h2_bar = -1.5 * mass * cfb
+    # v̄0 += 2·h̄2·(c×p0);  p̄0 += 2·h̄2·(v0×c)   [c = p0×v0]
+    gvx_ref[:] = vbx + 2.0 * h2_bar * (cy * p0z - cz * p0y)
+    gvy_ref[:] = vby + 2.0 * h2_bar * (cz * p0x - cx * p0z)
+    gvz_ref[:] = vbz + 2.0 * h2_bar * (cx * p0y - cy * p0x)
+
+    p0bx = pbx + 2.0 * h2_bar * (vy * cz - vz * cy)
+    p0by = pby + 2.0 * h2_bar * (vz * cx - vx * cz)
+    p0bz = pbz + 2.0 * h2_bar * (vx * cy - vy * cx)
+
+    scalars = [
+        (G_MASS, jnp.sum(-1.5 * h2 * cfb)),
+        (G_INNER, jnp.sum(ib)),
+        (G_OUTER, jnp.sum(ob)),
+        (G_OPACITY, jnp.sum(opb)),
+        (G_RGB0, jnp.sum(r0b)),
+        (G_RGB1, jnp.sum(r1b)),
+        (G_RGB2, jnp.sum(r2b)),
+        (G_POS0X, jnp.sum(p0bx)),
+        (G_POS0Y, jnp.sum(p0by)),
+        (G_POS0Z, jnp.sum(p0bz)),
+    ]
+    # (8, 128) block (hardware minimum tile); scalars live in sublane 0.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    row = jnp.zeros((8, LANES), jnp.float32)
+    for idx, val in scalars:
+        row = jnp.where((sub == 0) & (lane == idx), val, row)
+    gs_ref[0] = row
+
+
+def march_adjoint_pallas(
+    pos0: jnp.ndarray,  # (3,)
+    vel0,  # (N, 3) or tuple of three (N,) planes
+    cot_acc: jnp.ndarray,  # (N, 4)
+    cot_vel: jnp.ndarray,  # (N, 3)
+    *,
+    step_size: float,
+    max_steps: int,
+    mass: jnp.ndarray,
+    safe_distance: jnp.ndarray,
+    disk_on: bool,
+    disk_inner: jnp.ndarray,
+    disk_outer: jnp.ndarray,
+    disk_opacity: jnp.ndarray,
+    disk_rgb: jnp.ndarray,
+    block_rows: int = ADJ_BLOCK_ROWS,
+    seg_len: int = ADJ_SEG_LEN,
+    interpret: bool = False,
+):
+    """Gradients of the march outputs w.r.t. every differentiable input.
+
+    Returns ``(pos0̄ (3,), vel0̄ (N,3), mass̄, inner̄, outer̄, opacitȳ,
+    rgb̄ (3,))`` — exactly what reverse-mode AD of the scan march computes
+    (see tests/test_march_adjoint.py for the equivalence gate).
+    """
+    f32 = jnp.float32
+    if isinstance(vel0, (tuple, list)):
+        comps = [v.astype(f32) for v in vel0]
+        n = comps[0].shape[0]
+    else:
+        vel0 = vel0.astype(f32)
+        n = vel0.shape[0]
+        comps = [vel0[:, 0], vel0[:, 1], vel0[:, 2]]
+    cots = [
+        cot_vel[:, 0], cot_vel[:, 1], cot_vel[:, 2],
+        cot_acc[:, 0], cot_acc[:, 1], cot_acc[:, 2], cot_acc[:, 3],
+    ]
+    cots = [c.astype(f32) for c in cots]
+
+    tile = block_rows * LANES
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        comps = [
+            jnp.concatenate([c, jnp.broadcast_to(c[:1], (n_pad - n,))])
+            for c in comps
+        ]
+        # Padding rays carry zero cotangent: they contribute nothing.
+        cots = [
+            jnp.concatenate([c, jnp.zeros((n_pad - n,), f32)]) for c in cots
+        ]
+    rows = n_pad // LANES
+    grid = rows // block_rows
+    planes = [c.reshape(rows, LANES) for c in comps + cots]
+
+    scal = jnp.stack(
+        [
+            jnp.asarray(step_size, f32),
+            jnp.asarray(mass, f32),
+            jnp.asarray(safe_distance, f32),
+            jnp.asarray(disk_inner, f32) ** 2,
+            jnp.asarray(disk_outer, f32) ** 2,
+            jnp.asarray(disk_opacity, f32),
+            jnp.asarray(disk_rgb[0], f32),
+            jnp.asarray(disk_rgb[1], f32),
+            jnp.asarray(disk_rgb[2], f32),
+            jnp.asarray(disk_inner, f32),
+            jnp.asarray(disk_outer, f32),
+        ]
+    )
+    cap = jnp.array([max_steps], jnp.int32)
+    p0 = jnp.asarray(pos0, f32).reshape(3)
+
+    n_seg_max = -(-max_steps // seg_len)
+    vmem_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    row_spec = pl.BlockSpec(
+        (1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    plane_shape = jax.ShapeDtypeStruct((rows, LANES), f32)
+    ck = lambda dt=jnp.float32: pltpu.VMEM(
+        (n_seg_max + 1, block_rows, LANES), dt
+    )
+    sb = lambda dt=jnp.float32: pltpu.VMEM((seg_len, block_rows, LANES), dt)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _adjoint_kernel, disk_on=disk_on, seg_len=seg_len, n_seg_max=n_seg_max
+        ),
+        grid=(grid,),
+        in_specs=[smem_spec] * 3 + [vmem_spec] * 10,
+        out_specs=[vmem_spec] * 3 + [row_spec],
+        out_shape=[plane_shape] * 3 + [jax.ShapeDtypeStruct((grid, 8, LANES), f32)],
+        scratch_shapes=[ck() for _ in range(7)] + [ck(jnp.int32)]
+        + [sb() for _ in range(7)] + [sb(jnp.int32)],
+        interpret=interpret,
+    )(scal, cap, p0, *planes)
+
+    gvx, gvy, gvz, gs = outs
+    vel0_bar = jnp.stack(
+        [gvx.reshape(-1), gvy.reshape(-1), gvz.reshape(-1)], axis=-1
+    )[:n]
+    partials = jnp.sum(gs, axis=(0, 1))  # reduce per-tile rows (+ sublane pad)
+    pos0_bar = partials[G_POS0X:G_POS0Z + 1]
+    return (
+        pos0_bar,
+        vel0_bar,
+        partials[G_MASS],
+        partials[G_INNER],
+        partials[G_OUTER],
+        partials[G_OPACITY],
+        partials[G_RGB0:G_RGB2 + 1],
+    )

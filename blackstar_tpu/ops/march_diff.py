@@ -1,0 +1,109 @@
+"""Differentiable march with Pallas forward AND Pallas backward.
+
+Couples the forward kernel (ops/march_pallas) with the hand-derived adjoint
+kernel (ops/march_adjoint_pallas) through ``jax.custom_vjp``: both passes run
+VMEM-resident with per-tile early exit, making TPU training ~7× faster than
+the checkpointed-scan autodiff path while computing the same gradients
+(tests/test_march_adjoint*.py gate the equivalence against jax.grad).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blackstar_tpu.geodesic import MarchResult
+from blackstar_tpu.ops.march_adjoint_pallas import march_adjoint_pallas
+from blackstar_tpu.ops.march_pallas import march_pallas
+
+
+@functools.lru_cache(maxsize=64)
+def _make_march_diff(step_size: float, max_steps: int, disk_on: bool,
+                     components: bool):
+    """Build (and cache) the custom-vjp march for one static configuration.
+
+    ``components`` selects whether vel0 arrives as an (N, 3) array or as a
+    tuple of three flat planes — gradients mirror the input structure.
+    """
+
+    @jax.custom_vjp
+    def f(pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe):
+        res = march_pallas(
+            pos0,
+            vel0,
+            step_size=step_size,
+            max_steps=max_steps,
+            mass=mass,
+            safe_distance=safe,
+            disk_on=disk_on,
+            disk_inner=inner,
+            disk_outer=outer,
+            disk_opacity=opacity,
+            disk_rgb=disk_rgb,
+        )
+        return res.acc_rgba, res.vel, res.status
+
+    def fwd(pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe):
+        out = f(pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe)
+        return out, (pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe)
+
+    def bwd(residuals, cots):
+        pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe = residuals
+        cot_acc, cot_vel, _ = cots  # status is int: float0 cotangent, ignored
+        g_pos0, g_vel0, g_mass, g_inner, g_outer, g_op, g_rgb = march_adjoint_pallas(
+            pos0,
+            vel0,
+            cot_acc,
+            cot_vel,
+            step_size=step_size,
+            max_steps=max_steps,
+            mass=mass,
+            safe_distance=safe,
+            disk_on=disk_on,
+            disk_inner=inner,
+            disk_outer=outer,
+            disk_opacity=opacity,
+            disk_rgb=disk_rgb,
+        )
+        if components:
+            g_vel0 = (g_vel0[:, 0], g_vel0[:, 1], g_vel0[:, 2])
+        # safe enters comparisons only — zero gradient (matches autodiff).
+        return (
+            g_pos0.astype(pos0.dtype),
+            g_vel0,
+            g_mass.astype(mass.dtype),
+            g_inner.astype(inner.dtype),
+            g_outer.astype(outer.dtype),
+            g_op.astype(opacity.dtype),
+            g_rgb.astype(disk_rgb.dtype),
+            jnp.zeros_like(safe),
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def march_diff(
+    pos0,
+    vel0,
+    *,
+    step_size: float,
+    max_steps: int,
+    disk_on: bool,
+    mass,
+    inner,
+    outer,
+    opacity,
+    disk_rgb,
+    safe,
+) -> MarchResult:
+    """Differentiable Pallas march. vel0: (N, 3) array or 3-tuple of planes."""
+    components = isinstance(vel0, (tuple, list))
+    f = _make_march_diff(float(step_size), int(max_steps), bool(disk_on), components)
+    if components:
+        vel0 = tuple(vel0)
+    acc, vel, status = f(pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe)
+    return MarchResult(acc_rgba=acc, vel=vel, status=status, steps=jnp.int32(max_steps))

@@ -66,15 +66,12 @@ def shade(res, params: SceneParams, star_grid, dt) -> jnp.ndarray:
     return acc[:, :3] + bottom * (1.0 - acc[:, 3:4])
 
 
-def pallas_eligible(static: StaticConfig, differentiable: bool) -> bool:
-    """The Pallas kernel is valid and profitable exactly when: forward-only
-    (the backward pass needs the checkpointed scan), float32 (TPU compute
-    dtype), on a TPU backend."""
-    return (
-        not differentiable
-        and static.jdtype == jnp.float32
-        and jax.default_backend() == "tpu"
-    )
+def pallas_eligible(static: StaticConfig, differentiable: bool = False) -> bool:
+    """The Pallas kernels are valid exactly for float32 on a TPU backend —
+    forward (ops/march_pallas) and, via the hand-derived adjoint
+    (ops/march_diff), reverse-mode too."""
+    del differentiable  # both directions are Pallas-backed
+    return static.jdtype == jnp.float32 and jax.default_backend() == "tpu"
 
 
 def run_march(
@@ -87,7 +84,7 @@ def run_march(
     use_pallas="auto",
     image_shape=None,
 ):
-    """Dispatch the geodesic march to the Pallas TPU kernel or the XLA path.
+    """Dispatch the geodesic march to the Pallas TPU kernels or the XLA path.
 
     ``vel0`` may be an (N, 3) array (either path) or a tuple of three flat
     component arrays (Pallas path only).
@@ -97,6 +94,24 @@ def run_march(
     safe = safe_distance(params, static.jdtype)
     if use_pallas:
         from blackstar_tpu.color import hsi_to_rgb
+
+        disk_rgb = hsi_to_rgb(params.disk.color_hsi.astype(jnp.float32))
+        if differentiable:
+            from blackstar_tpu.ops.march_diff import march_diff
+
+            return march_diff(
+                pos0,
+                vel0,
+                step_size=static.step_size,
+                max_steps=static.max_steps,
+                disk_on=static.disk_on,
+                mass=params.mass,
+                inner=params.disk.inner,
+                outer=params.disk.outer,
+                opacity=params.disk.opacity,
+                disk_rgb=disk_rgb,
+                safe=safe,
+            )
         from blackstar_tpu.ops.march_pallas import march_pallas
 
         return march_pallas(
@@ -110,7 +125,7 @@ def run_march(
             disk_inner=params.disk.inner,
             disk_outer=params.disk.outer,
             disk_opacity=params.disk.opacity,
-            disk_rgb=hsi_to_rgb(params.disk.color_hsi.astype(jnp.float32)),
+            disk_rgb=disk_rgb,
             image_shape=image_shape,
         )
     if isinstance(vel0, (tuple, list)):

@@ -1,0 +1,83 @@
+"""Pallas adjoint kernel (interpret mode) vs the validated reference adjoint."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackstar_tpu.color import hsi_to_rgb
+from blackstar_tpu.ops.march_adjoint_pallas import march_adjoint_pallas
+from blackstar_tpu.ops.march_vjp import march_adjoint_reference
+
+H = 0.3
+MAX_STEPS = 50
+SAFE = 2500.0
+
+
+def _setup(n=96, disk_opacity=0.95, seed=4):
+    rng = np.random.default_rng(seed)
+    pos0 = jnp.asarray([0.0, 1.0, -20.0], jnp.float32)
+    fwd = np.array([0.0, -0.05, 1.0])
+    dirs = fwd + 0.25 * rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    vel0 = jnp.asarray(dirs, jnp.float32)
+    cot_acc = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    cot_vel = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    return pos0, vel0, cot_acc, cot_vel
+
+
+@pytest.mark.parametrize("disk_opacity", [0.95, 0.0], ids=["disk", "no-disk"])
+def test_pallas_adjoint_matches_reference(disk_opacity):
+    pos0, vel0, cot_acc, cot_vel = _setup(disk_opacity=disk_opacity)
+    disk_on = disk_opacity != 0.0
+    kw = dict(
+        mass=jnp.float32(1.0),
+        inner=jnp.float32(1.8),
+        outer=jnp.float32(13.0),
+        opacity=jnp.float32(disk_opacity),
+        disk_rgb=hsi_to_rgb(jnp.asarray([0.5, 0.1, 1.05], jnp.float32)),
+        safe=jnp.float32(SAFE),
+    )
+    want = march_adjoint_reference(
+        pos0, vel0, h=H, max_steps=MAX_STEPS, disk_on=disk_on,
+        cot_acc=cot_acc, cot_vel=cot_vel, **kw,
+    )
+    got = march_adjoint_pallas(
+        pos0, vel0, cot_acc, cot_vel,
+        step_size=H, max_steps=MAX_STEPS,
+        mass=kw["mass"], safe_distance=kw["safe"], disk_on=disk_on,
+        disk_inner=kw["inner"], disk_outer=kw["outer"],
+        disk_opacity=kw["opacity"], disk_rgb=kw["disk_rgb"],
+        block_rows=2, seg_len=8, interpret=True,
+    )
+    names = ["pos0", "vel0", "mass", "inner", "outer", "opacity", "rgb"]
+    for name, w, g in zip(names, want, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+
+def test_pallas_adjoint_ragged_padding():
+    """91 rays over 2x128-ray tiles: padding cotangents are zero and must
+    contribute nothing to parameter gradients."""
+    pos0, vel0, cot_acc, cot_vel = _setup(n=91)
+    kw = dict(
+        mass=jnp.float32(1.0), inner=jnp.float32(1.8), outer=jnp.float32(13.0),
+        opacity=jnp.float32(0.95),
+        disk_rgb=hsi_to_rgb(jnp.asarray([0.5, 0.1, 1.05], jnp.float32)),
+        safe=jnp.float32(SAFE),
+    )
+    want = march_adjoint_reference(
+        pos0, vel0, h=H, max_steps=MAX_STEPS, disk_on=True,
+        cot_acc=cot_acc, cot_vel=cot_vel, **kw,
+    )
+    got = march_adjoint_pallas(
+        pos0, vel0, cot_acc, cot_vel,
+        step_size=H, max_steps=MAX_STEPS,
+        mass=kw["mass"], safe_distance=kw["safe"], disk_on=True,
+        disk_inner=kw["inner"], disk_outer=kw["outer"],
+        disk_opacity=kw["opacity"], disk_rgb=kw["disk_rgb"],
+        block_rows=1, seg_len=8, interpret=True,
+    )
+    assert got[1].shape == (91, 3)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5)
