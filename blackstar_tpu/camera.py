@@ -25,6 +25,17 @@ def _normalize(v: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
 
 
+def _film_coords(fov, xs, ys, width, height, dt):
+    """Film-plane offsets for pixel coordinates (Raytracer.hs:48-50):
+    cx = fov·(x/w − 0.5), cy = fov·(0.5 − y/h)·h/w. Shared by every ray
+    generator so the pixel-coordinate convention lives in one place."""
+    w = jnp.asarray(width, dt)
+    h = jnp.asarray(height, dt)
+    cx = fov * (xs / w - 0.5)
+    cy = fov * (0.5 - ys / h) * h / w
+    return cx, cy
+
+
 def look_at_rotation(position: jnp.ndarray, look_at: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
     """Rows (xa, ya, −za) of the `linear` ``lookAt`` matrix (Raytracer.hs:46).
 
@@ -52,12 +63,9 @@ def generate_rays(
     fov = cam.fov.astype(dt)
     rot = look_at_rotation(cam.position, cam.look_at, cam.up).astype(dt)
 
-    w = jnp.asarray(width, dt)
-    h = jnp.asarray(height, dt)
     xs = jnp.arange(width, dtype=dt)
     ys = jnp.arange(height, dtype=dt)
-    cx = fov * (xs / w - 0.5)  # (W,)
-    cy = fov * (0.5 - ys / h) * h / w  # (H,)
+    cx, cy = _film_coords(fov, xs, ys, width, height, dt)  # (W,), (H,)
 
     # vel = normalize(transpose(rot) @ (cx, cy, -1)) = cx·xa + cy·ya + za
     xa, ya, nza = rot[0], rot[1], rot[2]  # nza = -za
@@ -85,12 +93,11 @@ def generate_ray_components(
     fov = cam.fov.astype(dt)
     rot = look_at_rotation(cam.position, cam.look_at, cam.up).astype(dt)
 
-    w = jnp.asarray(width, dt)
-    h = jnp.asarray(height, dt)
     xs = jnp.arange(width, dtype=dt)
     ys = jnp.arange(height, dtype=dt)
-    cx = fov * (xs / w - 0.5)[None, :]  # (1, W)
-    cy = (fov * (0.5 - ys / h) * h / w)[:, None]  # (H, 1)
+    cx, cy = _film_coords(fov, xs, ys, width, height, dt)
+    cx = cx[None, :]  # (1, W)
+    cy = cy[:, None]  # (H, 1)
 
     xa, ya, nza = rot[0], rot[1], rot[2]
     dx = cx * xa[0] + cy * ya[0] - nza[0]
@@ -119,12 +126,9 @@ def generate_rays_at(
     fov = cam.fov.astype(dt)
     rot = look_at_rotation(cam.position, cam.look_at, cam.up).astype(dt)
 
-    w = jnp.asarray(width, dt)
-    h = jnp.asarray(height, dt)
     ys = (pixel_ids // width).astype(dt)
     xs = (pixel_ids % width).astype(dt)
-    cx = fov * (xs / w - 0.5)
-    cy = fov * (0.5 - ys / h) * h / w
+    cx, cy = _film_coords(fov, xs, ys, width, height, dt)
 
     xa, ya, nza = rot[0], rot[1], rot[2]
     dirs = cx[:, None] * xa[None, :] + cy[:, None] * ya[None, :] - nza[None, :]

@@ -15,10 +15,7 @@ import argparse
 import os
 import sys
 
-import yaml
-
 from blackstar_tpu.animation import frame_filename, generate_frames, load_animation, validate_keyframes
-from blackstar_tpu.config import Config
 from blackstar_tpu.util import normalize_path, prompt_overwrite_file
 
 
@@ -79,14 +76,13 @@ def main(argv=None) -> int:
         print(f"\nRendered {len(paths)} frames to {out_path}.")
         return 0
 
+    from blackstar_tpu.config import save_config
+
     for idx, frame in enumerate(generate_frames(anim)):
         filename = os.path.join(out_path, frame_filename(basename, anim.n_frames, idx))
-
-        def write(path: str, cfg: Config = frame) -> None:
-            with open(path, "w") as f:
-                yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)
-
-        prompt_overwrite_file(filename, write, force=args.force)
+        prompt_overwrite_file(
+            filename, lambda p, cfg=frame: save_config(cfg, p), force=args.force
+        )
     return 0
 
 

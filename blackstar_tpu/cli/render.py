@@ -128,6 +128,8 @@ def _render(args, params, static, grid, with_stats=False):
     import jax
 
     if args.sharded:
+        if with_stats:
+            print("Note: --stats is not supported with --sharded; ignoring.")
         from blackstar_tpu.parallel.render import render_sharded
 
         fn = jax.jit(
@@ -180,9 +182,12 @@ def main(argv=None) -> int:
             if args.shard_scenes:
                 # Frame-parallel batch across hosts (the reference's manual
                 # multi-node workflow, README.md:89-93, made a flag).
-                i, n = (int(v) for v in args.shard_scenes.split("/"))
-                if not 0 <= i < n:
-                    print(f"invalid --shard-scenes {args.shard_scenes}")
+                try:
+                    i, n = (int(v) for v in args.shard_scenes.split("/"))
+                    if not 0 <= i < n:
+                        raise ValueError
+                except ValueError:
+                    print(f"invalid --shard-scenes {args.shard_scenes!r} (expected I/N with 0 <= I < N)")
                     return 2
                 files = files[i::n]
             writer = _make_writer(args)

@@ -143,7 +143,7 @@ class Scene:
 
     def to_dict(self) -> dict:
         h, s, i = self.disk_color
-        return {
+        d = {
             "stepSize": self.step_size,
             "bloomStrength": self.bloom_strength,
             "bloomDivider": self.bloom_divider,
@@ -156,6 +156,17 @@ class Scene:
             "resolution": list(self.resolution),
             "supersampling": self.supersampling,
         }
+        # TPU-framework extension fields: emitted only when non-default so
+        # untouched configs stay byte-compatible with the reference schema,
+        # but round-trips (e.g. the animate CLI's per-frame YAMLs) never
+        # silently drop them.
+        if self.mass != 1.0:
+            d["mass"] = self.mass
+        if self.max_steps is not None:
+            d["maxSteps"] = self.max_steps
+        if self.dtype != "float32":
+            d["dtype"] = self.dtype
+        return d
 
 
 @dataclass

@@ -80,12 +80,13 @@ def rk4_step(
     return new_pos, new_vel
 
 
-def _march_step(state, *, h, h2, mass, safe, disk_on, disk_rgb, disk):
+def _march_step(state, *, h, h2, mass, safe, disk_on, disk_rgb, disk, valid=True):
     """One masked step for all rays: RK4 + classify + composite + freeze.
 
     The classifier evaluates on the *pre-step* state (old position radius and
     old velocity) exactly like ``findColor`` receiving ``crd'`` before
-    ``newCrd`` (Raytracer.hs:79-81, :88-102).
+    ``newCrd`` (Raytracer.hs:79-81, :88-102). ``valid`` gates steps past the
+    cap (used by the fixed-length differentiable path).
     """
     pos, vel, acc, status = state
     dt = pos.dtype
@@ -93,7 +94,7 @@ def _march_step(state, *, h, h2, mass, safe, disk_on, disk_rgb, disk):
     new_pos, new_vel = rk4_step(pos, vel, h, h2, mass)
 
     r2 = _rowdot(pos, pos)
-    active = status == ACTIVE
+    active = (status == ACTIVE) & valid
     rs2 = mass * mass
     hit_horizon = active & (r2 < rs2)
     hit_escape = active & ~(r2 < rs2) & (r2 > safe)
@@ -206,14 +207,21 @@ def march(
         n_segs = -(-max_steps // seg)
 
         @jax.checkpoint
-        def segment(state, _):
-            state = jax.lax.fori_loop(0, seg, lambda _, s: step(s), state)
+        def segment(state, seg_idx):
+            # Steps past the cap in the final segment are masked, so the
+            # fixed-length path is exactly equivalent to the capped loop.
+            state = jax.lax.fori_loop(
+                0,
+                seg,
+                lambda j, s: step(s, valid=seg_idx * seg + j < max_steps),
+                state,
+            )
             return state, None
 
         state, _ = jax.lax.scan(
-            segment, (pos0, vel0, acc0, status0), None, length=n_segs
+            segment, (pos0, vel0, acc0, status0), jnp.arange(n_segs)
         )
-        steps = jnp.int32(n_segs * seg)
+        steps = jnp.int32(max_steps)
 
     pos, vel, acc, status = state
     return MarchResult(acc_rgba=acc, vel=vel, status=status, steps=steps)

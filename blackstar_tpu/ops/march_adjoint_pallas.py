@@ -45,8 +45,10 @@ from blackstar_tpu.ops.march_pallas import (
 )
 from blackstar_tpu.ops.march_vjp import AdjointCarry, Dot3, StepConsts, step_primal, step_vjp
 
-ADJ_BLOCK_ROWS = 8  # 1024 rays/tile keeps checkpoints + segment buffer small
+ADJ_BLOCK_ROWS = 16  # 2048 rays/tile (best measured; ~2.5 MB VMEM scratch)
 ADJ_SEG_LEN = 16  # steps per checkpoint segment
+# Measured v5e @1080p, 601-step cap: ~133 ms (15.6 Mrays/s backward),
+# flat within ±5% across rows∈{8,16,32} × seg∈{16,32} — compute-bound.
 
 # Lane layout of the per-tile scalar-partials output row.
 G_MASS = 0

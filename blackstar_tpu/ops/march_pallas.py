@@ -314,15 +314,14 @@ def march_pallas(
     if isinstance(vel0, (tuple, list)):
         comps = [v.astype(f32) for v in vel0]
         n = comps[0].shape[0]
-        inv_perm = None
     else:
         vel0 = vel0.astype(f32)
         n = vel0.shape[0]
-        inv_perm = None
-        if image_shape is not None and n == image_shape[0] * image_shape[1]:
-            perm, inv_perm = zorder_permutation(*image_shape)
-            vel0 = vel0[perm]
         comps = [vel0[:, 0], vel0[:, 1], vel0[:, 2]]
+    inv_perm = None
+    if image_shape is not None and n == image_shape[0] * image_shape[1]:
+        perm, inv_perm = zorder_permutation(*image_shape)
+        comps = [c[perm] for c in comps]
 
     tile = block_rows * LANES
     n_pad = -(-n // tile) * tile
@@ -385,5 +384,8 @@ def march_pallas(
         acc_rgba=acc,
         vel=vel,
         status=status,
+        # The kernel early-exits per tile but does not export per-tile step
+        # counts; `steps` reports the static cap here (the XLA while_loop
+        # path reports the executed count).
         steps=jnp.int32(max_steps),
     )

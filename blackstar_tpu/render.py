@@ -175,11 +175,15 @@ def render(
         img = supersample(img)
 
     if with_stats:
-        n = res.status.shape[0]
+        from blackstar_tpu.geodesic import HORIZON
+
+        # Note: on the Pallas path `steps` reports the static cap (the kernel
+        # early-exits per tile and does not export per-tile counts); the XLA
+        # while_loop path reports the executed count.
         stats = RenderStats(
             steps=res.steps,
             escaped_frac=jnp.mean((res.status == ESCAPED).astype(jnp.float32)),
-            horizon_frac=jnp.mean((res.status == 2).astype(jnp.float32)),
+            horizon_frac=jnp.mean((res.status == HORIZON).astype(jnp.float32)),
             truncated_frac=jnp.mean((res.status == ACTIVE).astype(jnp.float32)),
         )
         return img, stats

@@ -39,13 +39,27 @@ def render_animation(
     traced argument, so nothing retraces between frames); PNG encode/write
     overlaps the next frame's render via the native pool when available.
     """
+    from blackstar_tpu.config import default_max_steps
     from blackstar_tpu.ops.filters import bloom
     from blackstar_tpu.render import render
 
-    validate_keyframes(sorted(anim.keyframes, key=lambda k: k.time))
+    frames_sorted = sorted(anim.keyframes, key=lambda k: k.time)
+    validate_keyframes(frames_sorted)
     os.makedirs(out_dir, exist_ok=True)
 
-    cfg = Config(scene=anim.scene, camera=anim.keyframes[0].camera)
+    scene = anim.scene
+    if scene.max_steps is None:
+        # One compiled render serves every frame, so the static step cap must
+        # cover the *farthest* camera. |pos| is maximised at a keyframe under
+        # linear interpolation, so the per-keyframe maximum is exact.
+        scene = dataclasses.replace(
+            scene,
+            max_steps=max(
+                default_max_steps(Config(scene=scene, camera=k.camera))
+                for k in frames_sorted
+            ),
+        )
+    cfg = Config(scene=scene, camera=frames_sorted[0].camera)
     if preview:
         from blackstar_tpu.config import apply_preview
 

@@ -117,3 +117,23 @@ def test_params_pytree():
     assert params.camera.position.shape == (3,)
     assert params.disk.color_hsi.shape == (3,)
     assert params.mass.shape == ()
+
+
+def test_extension_fields_round_trip(tmp_path):
+    """mass/maxSteps/dtype must survive YAML round-trips (the animate CLI
+    re-serialises scenes per frame), but stay absent for default configs so
+    untouched YAMLs remain reference-schema compatible."""
+    from blackstar_tpu.config import load_config, save_config
+
+    d = dict(MINIMAL)
+    d["scene"] = {"mass": 2.0, "maxSteps": 123, "dtype": "float64"}
+    cfg = Config.from_dict(d)
+    path = str(tmp_path / "cfg.yaml")
+    save_config(cfg, path)
+    back = load_config(path)
+    assert back.scene.mass == 2.0
+    assert back.scene.max_steps == 123
+    assert back.scene.dtype == "float64"
+
+    plain = Config.from_dict(MINIMAL).scene.to_dict()
+    assert "mass" not in plain and "maxSteps" not in plain and "dtype" not in plain

@@ -140,3 +140,28 @@ def test_outward_rays_never_capture():
     params = cfg.params()
     res = march(jnp.asarray(pos), jnp.asarray(vel), params, static, 2500.0)
     assert not np.any(np.asarray(res.status) == HORIZON)
+
+
+def test_differentiable_path_respects_step_cap():
+    """The fixed-length scan path must march exactly max_steps even when the
+    cap is not a multiple of the checkpoint segment (it used to overrun by
+    up to seg-1 steps, diverging from the while_loop path for truncated
+    rays)."""
+    import numpy as np
+
+    from blackstar_tpu.config import Config
+    from blackstar_tpu.render import render
+
+    cfg = Config.from_dict(
+        {
+            "camera": {"position": [0, 1, -20], "lookAt": [0, 0, 0],
+                       "upVec": [0, 1, 0], "fov": 1.5},
+            # 27 steps: every ray truncates mid-flight; 27 % 25 != 0.
+            "scene": {"resolution": [6, 4], "maxSteps": 27, "diskOpacity": 0.9,
+                      "dtype": "float64"},
+        }
+    )
+    params, static = cfg.params(), cfg.static()
+    a = np.asarray(render(params, static, differentiable=False))
+    b = np.asarray(render(params, static, differentiable=True))
+    np.testing.assert_array_equal(a, b)

@@ -61,3 +61,32 @@ def test_render_animation_invalid_keyframes(tmp_path):
     anim.keyframes[1].time = 0.5
     with pytest.raises(ValueError):
         render_animation(anim, str(tmp_path))
+
+
+def test_step_cap_covers_farthest_keyframe(tmp_path):
+    """The shared static config must derive its step cap from the farthest
+    keyframe, or late zoom-out frames truncate and render black."""
+    from blackstar_tpu.config import Config, Scene
+
+    scene = Scene(resolution=(8, 5), disk_opacity=0.9, bloom_strength=0.0,
+                  step_size=1.0, dtype="float32")
+    near = Keyframe(
+        camera=Camera(position=(0, 1, -20), look_at=(0, 0, 0), up=(0, 1, 0), fov=1.5),
+        time=0.0,
+    )
+    far = Keyframe(
+        camera=Camera(position=(0, 1, -90), look_at=(0, 0, 0), up=(0, 1, 0), fov=1.5),
+        time=1.0,
+    )
+    anim = Animation(scene=scene, n_frames=2, interpolation="linear",
+                     keyframes=[near, far])
+    paths = render_animation(anim, str(tmp_path), basename="zoom")
+    # The last frame must equal a direct render of the far camera with its
+    # own (sufficient) derived cap.
+    direct_cfg = Config(scene=scene, camera=far.camera)
+    want = np.asarray(render(direct_cfg.params(), direct_cfg.static()))
+    from blackstar_tpu.imageio import write_png
+
+    ref = tmp_path / "want.png"
+    write_png(want, str(ref))
+    np.testing.assert_array_equal(read_png(paths[1]), read_png(str(ref)))
