@@ -35,12 +35,18 @@ def image_loss(
     star_grid=None,
     *,
     mesh=None,
+    pyramid: int = 0,
 ) -> jnp.ndarray:
     """Mean-squared error between the rendered linear-RGB image and a target.
 
-    Renders through the checkpointed (reverse-mode-capable) march; with a
-    ``mesh`` the forward shards rays over devices and the backward psums the
-    parameter cotangents.
+    Renders through the reverse-mode-capable march (the Pallas adjoint on
+    TPU); with a ``mesh`` the forward shards rays over devices and the
+    backward psums the parameter cotangents.
+
+    ``pyramid > 0`` adds box-blurred comparison levels (radii 4, 8, 16, …):
+    coarse scales supply long-range gradients when the rendered and target
+    structures barely overlap (e.g. a badly misplaced disk), which plain
+    per-pixel MSE cannot.
     """
     if mesh is not None:
         from blackstar_tpu.parallel.render import render_sharded
@@ -48,7 +54,18 @@ def image_loss(
         img = render_sharded(params, static, star_grid, mesh=mesh, differentiable=True)
     else:
         img = render(params, static, star_grid, differentiable=True)
-    return jnp.mean((img - target.astype(img.dtype)) ** 2)
+    target = target.astype(img.dtype)
+    loss = jnp.mean((img - target) ** 2)
+    if pyramid:
+        from blackstar_tpu.ops.filters import box_blur
+
+        for k in range(pyramid):
+            r = 4 << k
+            loss = loss + jnp.mean(
+                (box_blur(img, r, passes=1) - box_blur(target, r, passes=1)) ** 2
+            )
+        loss = loss / (1 + pyramid)
+    return loss
 
 
 def trainable_mask(params: SceneParams, predicate) -> SceneParams:
@@ -73,12 +90,13 @@ def make_train_step(
     *,
     mesh=None,
     grad_mask: Optional[SceneParams] = None,
+    pyramid: int = 0,
 ):
     """Build a jittable ``(state, target) -> (state, loss)`` update step."""
 
     def train_step(state: TrainState, target: jnp.ndarray) -> Tuple[TrainState, jnp.ndarray]:
         loss, grads = jax.value_and_grad(image_loss)(
-            state.params, static, target, star_grid, mesh=mesh
+            state.params, static, target, star_grid, mesh=mesh, pyramid=pyramid
         )
         if grad_mask is not None:
             grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
@@ -124,17 +142,21 @@ def fit_scene(
     jit: bool = True,
     callback=None,
     grad_mask: Optional[SceneParams] = None,
+    pyramid: int = 0,
 ):
     """Gradient-descend scene parameters toward a target image.
 
     Returns ``(params, losses)``. This is the end-to-end capability the
     forward-only reference cannot express: recovering camera pose / disk
     shape / black-hole mass from an observed render. ``grad_mask`` (see
-    :func:`trainable_mask`) restricts which leaves move.
+    :func:`trainable_mask`) restricts which leaves move; ``pyramid`` adds
+    multi-scale loss levels for long-range convergence.
     """
     opt = optimizer or optax.adam(learning_rate)
     state = init_train_state(params, opt)
-    step_fn = make_train_step(static, opt, star_grid, mesh=mesh, grad_mask=grad_mask)
+    step_fn = make_train_step(
+        static, opt, star_grid, mesh=mesh, grad_mask=grad_mask, pyramid=pyramid
+    )
     if jit:
         step_fn = jax.jit(step_fn)
     losses = []

@@ -50,7 +50,7 @@ DYNAMIC = 50.0  # magnitude change that doubles intensity
 PSF_WIDTH = 0.0005  # Gaussian width parameter w
 QUERY_RADIUS = 3.0 * PSF_WIDTH  # inRadius search radius (StarMap.hs:104)
 
-_FORMAT_VERSION = 3
+_FORMAT_VERSION = 4
 _ROW = 8  # floats per candidate slot: x y z mag H_r H_g H_b valid
 
 
@@ -81,13 +81,21 @@ def rgb_basis(hue: np.ndarray, sat: np.ndarray) -> np.ndarray:
 @dataclass
 class StarGrid:
     """Device-resident bucketed star table. A JAX pytree (array leaves),
-    so it can be passed straight into jitted render functions."""
+    so it can be passed straight into jitted render functions.
 
-    cell_data: jax.Array  # (C, K, 8) dense candidate slots, sentinel-padded
-    n_cols: jax.Array  # (R,) int32 columns per declination ring
-    row_start: jax.Array  # (R,) int32 first cell id of each ring
+    The grid is equirectangular — every declination ring has the same
+    ``n_cols`` azimuth columns — so a ray's cell id is pure arithmetic
+    (ring·n_cols + col) with **no index-table gathers**. An area-balanced
+    layout (fewer columns near the poles) was tried first: its per-ring
+    ``n_cols[ring]``/``row_start[ring]`` lookups cost two extra 2M-row
+    gathers per frame, far more than the ~50% extra sentinel padding the
+    fixed layout spends near the poles.
+    """
+
+    cell_data: jax.Array  # (R·n_cols, K, 8) dense candidate slots, padded
     # Static metadata.
     n_rings: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
     n_stars: int = dataclasses.field(metadata=dict(static=True))
     psf_width: float = dataclasses.field(metadata=dict(static=True))
     radius: float = dataclasses.field(metadata=dict(static=True))
@@ -164,7 +172,8 @@ class StarGrid:
             vel = jnp.where(active[:, None], vel, jnp.ones((), dt))
         nvel = vel / jnp.linalg.norm(vel, axis=-1, keepdims=True)
 
-        # Bucket id: declination ring, then azimuthal column.
+        # Bucket id: declination ring, then azimuthal column — pure
+        # arithmetic on the equirect layout, no table gathers.
         two_pi = 2.0 * jnp.pi
         delta = jnp.asarray(jnp.pi / self.n_rings, dt)
         dec = jnp.arcsin(jnp.clip(nvel[:, 2], -1.0, 1.0))
@@ -172,11 +181,10 @@ class StarGrid:
         ring = jnp.clip(
             jnp.floor((dec + jnp.pi / 2) / delta).astype(jnp.int32), 0, self.n_rings - 1
         )
-        ncol = self.n_cols[ring]
         col = jnp.clip(
-            jnp.floor(ra / two_pi * ncol.astype(dt)).astype(jnp.int32), 0, ncol - 1
+            jnp.floor(ra / two_pi * self.n_cols).astype(jnp.int32), 0, self.n_cols - 1
         )
-        cell = self.row_start[ring] + col
+        cell = ring * self.n_cols + col
 
         # ONE contiguous-row gather per ray: (N, K, 8).
         data = self.cell_data[cell].astype(dt)
@@ -205,17 +213,6 @@ class StarGrid:
         return out
 
 
-def _ring_layout(n_rings: int):
-    """Per-ring column counts: azimuthal arc width <= ring height."""
-    delta = np.pi / n_rings
-    edges = -np.pi / 2 + delta * np.arange(n_rings + 1)
-    # Widest circumference inside the ring (dec closest to the equator).
-    lo, hi = edges[:-1], edges[1:]
-    closest = np.where((lo < 0) & (hi > 0), 0.0, np.minimum(np.abs(lo), np.abs(hi)))
-    max_cos = np.cos(closest)
-    n_cols = np.maximum(1, np.ceil(2 * np.pi * max_cos / delta)).astype(np.int64)
-    row_start = np.concatenate([[0], np.cumsum(n_cols)[:-1]]).astype(np.int64)
-    return n_cols, row_start, int(n_cols.sum())
 
 
 def _pack_cells(catalog: Catalog, cells, stars, n_cells, k) -> np.ndarray:
@@ -254,14 +251,15 @@ def build_star_grid(
         raise ValueError(f"cell_size {cell_size} must exceed 2×query radius {r}")
 
     n_rings = max(1, int(np.ceil(np.pi / cell_size)))
-    n_cols, row_start, n_cells = _ring_layout(n_rings)
+    ncol = max(1, int(np.ceil(2 * np.pi / cell_size)))  # fixed per ring
+    n_cells = n_rings * ncol
     delta = np.pi / n_rings
 
     pos = np.asarray(catalog.pos, np.float64)
     s = pos.shape[0]
     if s == 0:
         data = _pack_cells(catalog, np.zeros(0, np.int64), np.zeros(0, np.int64), n_cells, 1)
-        return _grid_from_arrays(data, n_cols, row_start, n_rings, 0, psf_width, r, dtype)
+        return _grid_from_arrays(data, n_rings, ncol, 0, psf_width, r, dtype)
 
     z = np.clip(pos[:, 2], -1.0, 1.0)
     dec = np.arcsin(z)
@@ -286,7 +284,6 @@ def build_star_grid(
         rsel = ring[valid]
         ids = star_ids[valid]
         ra_sel = ra[valid]
-        ncol = n_cols[rsel]
         # Azimuthal halo: chordal radius r subtends RA width r / cos(dec)
         # at the ring's extreme declination (cos smallest there).
         edge_lo = -np.pi / 2 + delta * rsel
@@ -297,14 +294,15 @@ def build_star_grid(
         dra = np.where(min_cos < rh, np.pi, 1.05 * rh / safe_cos)
         col_center = ra_sel / (2 * np.pi) * ncol
         col_halo = np.ceil(dra / (2 * np.pi) * ncol).astype(np.int64)
+        col_halo = np.minimum(col_halo, ncol // 2)  # full circle at most
         col0 = np.floor(col_center).astype(np.int64)
         max_halo = int(col_halo.max()) if len(col_halo) else 0
         for c_off in range(-max_halo, max_halo + 1):
             use = np.abs(c_off) <= col_halo
             if not use.any():
                 continue
-            cols = np.mod(col0[use] + c_off, ncol[use])
-            pairs_cell.append(row_start[rsel[use]] + cols)
+            cols = np.mod(col0[use] + c_off, ncol)
+            pairs_cell.append(rsel[use] * ncol + cols)
             pairs_star.append(ids[use])
 
     cells = np.concatenate(pairs_cell)
@@ -318,15 +316,14 @@ def build_star_grid(
     counts = np.bincount(cells, minlength=n_cells)
     k = max(1, int(counts.max()))
     data = _pack_cells(catalog, cells, stars, n_cells, k)
-    return _grid_from_arrays(data, n_cols, row_start, n_rings, s, psf_width, r, dtype)
+    return _grid_from_arrays(data, n_rings, ncol, s, psf_width, r, dtype)
 
 
-def _grid_from_arrays(data, n_cols, row_start, n_rings, n_stars, psf_width, radius, dtype):
+def _grid_from_arrays(data, n_rings, n_cols, n_stars, psf_width, radius, dtype):
     return StarGrid(
         cell_data=jnp.asarray(data, jnp.dtype(dtype)),
-        n_cols=jnp.asarray(n_cols, jnp.int32),
-        row_start=jnp.asarray(row_start, jnp.int32),
         n_rings=int(n_rings),
+        n_cols=int(n_cols),
         n_stars=int(n_stars),
         psf_width=float(psf_width),
         radius=float(radius),
@@ -339,9 +336,8 @@ def save_star_grid(grid: StarGrid, path: str) -> None:
         path,
         version=_FORMAT_VERSION,
         cell_data=np.asarray(grid.cell_data, np.float64),
-        n_cols=np.asarray(grid.n_cols, np.int32),
-        row_start=np.asarray(grid.row_start, np.int32),
         n_rings=grid.n_rings,
+        n_cols=grid.n_cols,
         n_stars=grid.n_stars,
         psf_width=grid.psf_width,
         radius=grid.radius,
@@ -357,9 +353,8 @@ def load_star_grid(path: str, dtype=jnp.float32) -> StarGrid:
         )
     return StarGrid(
         cell_data=jnp.asarray(z["cell_data"], jnp.dtype(dtype)),
-        n_cols=jnp.asarray(z["n_cols"], jnp.int32),
-        row_start=jnp.asarray(z["row_start"], jnp.int32),
         n_rings=int(z["n_rings"]),
+        n_cols=int(z["n_cols"]),
         n_stars=int(z["n_stars"]),
         psf_width=float(z["psf_width"]),
         radius=float(z["radius"]),

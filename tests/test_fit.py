@@ -172,6 +172,25 @@ def test_trainable_mask_freezes_leaves():
     )
 
 
+def test_pyramid_loss_runs_and_descends():
+    """Multi-scale loss: differentiable, and descent still reduces it."""
+    cfg = _cfg(res=(12, 7), diskOpacity=0.95, maxSteps=150)
+    static = cfg.static()
+    truth = cfg.params()
+    target = render(truth, static, differentiable=True)
+    start = dataclasses.replace(
+        truth, disk=dataclasses.replace(truth.disk, outer=jnp.float64(11.0))
+    )
+    g = jax.grad(lambda p: image_loss(p, static, target, pyramid=2))(start)
+    assert float(jnp.abs(g.disk.outer)) > 0  # differentiable through the blurs
+    fitted, losses = fit_scene(
+        start, static, target, steps=20, learning_rate=0.02, pyramid=2
+    )
+    assert min(losses) < losses[0]
+    # Pyramid levels only add terms; a perfect match still has zero loss.
+    assert float(image_loss(truth, static, target, pyramid=2)) == 0.0
+
+
 def test_param_checkpoint_round_trip(tmp_path):
     from blackstar_tpu.fit import load_params, save_params
 
