@@ -31,13 +31,16 @@ def render_animation(
     preview: bool = False,
     sharded: bool = False,
     writer_threads: int = 4,
+    batch_frames: int = 4,
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> List[str]:
     """Render every frame of ``anim`` to ``out_dir``; returns the PNG paths.
 
     One jit-compiled render function serves all frames (the camera is a
-    traced argument, so nothing retraces between frames); PNG encode/write
-    overlaps the next frame's render via the native pool when available.
+    traced argument, so nothing retraces between frames); ``batch_frames``
+    cameras render per device dispatch (``lax.map``), amortising host
+    round-trip latency; PNG encode/write overlaps the next batch's render
+    via the native pool when available.
     """
     from blackstar_tpu.config import default_max_steps
     from blackstar_tpu.ops.filters import bloom
@@ -78,12 +81,20 @@ def render_animation(
 
     with_bloom = cfg.scene.bloom_strength != 0.0
 
-    @jax.jit
     def frame_fn(params):
         img = _render(params, static, grid)
         if with_bloom:
             img = bloom(img, params.bloom_strength, static.bloom_divider)
         return img
+
+    b = max(1, int(batch_frames))
+
+    @jax.jit
+    def batch_fn(cams_b):
+        return jax.lax.map(
+            lambda cam: frame_fn(dataclasses.replace(base_params, camera=cam)),
+            cams_b,
+        )
 
     n = anim.n_frames
     ts = np.arange(n) / max(n - 1, 1)
@@ -100,22 +111,26 @@ def render_animation(
 
     paths = []
     try:
-        for i in range(n):
-            cam = jax.tree.map(lambda a: a[i], cams)
-            params = dataclasses.replace(base_params, camera=cam)
-            img = np.asarray(frame_fn(params))
-            path = os.path.join(
-                out_dir, frame_filename(basename, n, i).replace(".yaml", ".png")
-            )
-            if writer is not None:
-                writer.submit(path, img)
-            else:
-                from blackstar_tpu.imageio import write_png
+        for start in range(0, n, b):
+            # Clamp the tail by repeating the last frame's camera: lax.map
+            # needs a fixed batch size and extra renders are just discarded.
+            idx = np.minimum(np.arange(start, start + b), n - 1)
+            cams_b = jax.tree.map(lambda a: a[idx], cams)
+            imgs = np.asarray(batch_fn(cams_b))
+            for j in range(min(b, n - start)):
+                i = start + j
+                path = os.path.join(
+                    out_dir, frame_filename(basename, n, i).replace(".yaml", ".png")
+                )
+                if writer is not None:
+                    writer.submit(path, imgs[j])
+                else:
+                    from blackstar_tpu.imageio import write_png
 
-                write_png(img, path)
-            paths.append(path)
-            if progress is not None:
-                progress(i + 1, n)
+                    write_png(imgs[j], path)
+                paths.append(path)
+                if progress is not None:
+                    progress(i + 1, n)
     finally:
         if writer is not None:
             errors = writer.wait()
