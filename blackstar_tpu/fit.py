@@ -116,6 +116,10 @@ def save_params(params: SceneParams, path: str) -> None:
     fitting runs — the reference's only persistence is the star tree)."""
     import numpy as np
 
+    if not path.endswith(".npz"):
+        # np.savez appends the suffix on save but np.load does not on load;
+        # normalise so save_params/load_params agree on the final name.
+        path = path + ".npz"
     leaves, treedef = jax.tree.flatten(params)
     np.savez(path, n=len(leaves), **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
 
@@ -124,6 +128,8 @@ def load_params(path: str, like: SceneParams) -> SceneParams:
     """Restore a SceneParams checkpoint (``like`` supplies the tree shape)."""
     import numpy as np
 
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     z = np.load(path)
     leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(int(z["n"]))]
     return jax.tree.unflatten(jax.tree.structure(like), leaves)
@@ -162,7 +168,10 @@ def fit_scene(
     losses = []
     for i in range(steps):
         state, loss = step_fn(state, target)
-        losses.append(float(loss))
+        # Keep losses on device unless a callback needs them now — a host
+        # sync per step would serialise the loop (costly on tunneled TPUs).
         if callback is not None:
-            callback(i, state, losses[-1])
-    return state.params, losses
+            loss = float(loss)
+            callback(i, state, loss)
+        losses.append(loss)
+    return state.params, [float(l) for l in losses]

@@ -104,6 +104,7 @@ def _march_kernel(
     ovx_ref, ovy_ref, ovz_ref,  # VMEM (R, 128) final velocity out
     oar_ref, oag_ref, oab_ref, oaa_ref,  # VMEM (R, 128) accumulated RGBA out
     ostat_ref,  # VMEM (R, 128) i32 status out
+    osteps_ref,  # VMEM (1, 8, 128) i32: per-tile executed step count (lane 0)
     *,
     disk_on: bool,
     unroll: int,
@@ -267,7 +268,9 @@ def _march_kernel(
         status0,
     )
     final = jax.lax.while_loop(cond, body, init)
-    _, px, py, pz, vx, vy, vz, _, ar, ag, ab, aa, status = final
+    steps_done, px, py, pz, vx, vy, vz, _, ar, ag, ab, aa, status = final
+    # (8, 128) is the minimum hardware tile; the count lives in element 0.
+    osteps_ref[0] = jnp.full((8, LANES), steps_done, jnp.int32)
 
     ovx_ref[:] = vx
     ovy_ref[:] = vy
@@ -359,6 +362,7 @@ def march_pallas(
         (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    steps_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows, LANES), f32)
 
     outs = pl.pallas_call(
@@ -367,12 +371,16 @@ def march_pallas(
         ),
         grid=(grid,),
         in_specs=[smem_spec, smem_spec, smem_spec] + [vmem_spec] * 3,
-        out_specs=[vmem_spec] * 7 + [vmem_spec],
-        out_shape=[out_shape] * 7 + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+        out_specs=[vmem_spec] * 7 + [vmem_spec, steps_spec],
+        out_shape=[out_shape] * 7
+        + [
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, 8, LANES), jnp.int32),
+        ],
         interpret=interpret,
     )(scal, cap, p0, vx, vy, vz)
 
-    ovx, ovy, ovz, ar, ag, ab, aa, status = outs
+    ovx, ovy, ovz, ar, ag, ab, aa, status, tile_steps = outs
     vel = jnp.stack([ovx.reshape(-1), ovy.reshape(-1), ovz.reshape(-1)], axis=-1)[:n]
     acc = jnp.stack(
         [ar.reshape(-1), ag.reshape(-1), ab.reshape(-1), aa.reshape(-1)], axis=-1
@@ -384,8 +392,8 @@ def march_pallas(
         acc_rgba=acc,
         vel=vel,
         status=status,
-        # The kernel early-exits per tile but does not export per-tile step
-        # counts; `steps` reports the static cap here (the XLA while_loop
-        # path reports the executed count).
-        steps=jnp.int32(max_steps),
+        # Max over per-tile executed counts, clamped to the cap (the while
+        # loop advances in `unroll`-step strides, so the final iteration can
+        # overshoot the cap arithmetically even though sub-steps are masked).
+        steps=jnp.minimum(jnp.max(tile_steps[:, 0, 0]), max_steps),
     )

@@ -107,9 +107,6 @@ def rk4_vjp(
     q4 = p + u3.scale(h)
 
     s = h / 6.0
-    zero = Dot3(
-        jnp.zeros_like(p.x), jnp.zeros_like(p.x), jnp.zeros_like(p.x)
-    )
     coef_bar = jnp.zeros_like(p.x)
 
     # new_p = p + s·(v + 2u2 + 2u3 + u4); new_v = v + s·(k1v + 2k2v + 2k3v + k4v)

@@ -177,9 +177,9 @@ def render(
     if with_stats:
         from blackstar_tpu.geodesic import HORIZON
 
-        # Note: on the Pallas path `steps` reports the static cap (the kernel
-        # early-exits per tile and does not export per-tile counts); the XLA
-        # while_loop path reports the executed count.
+        # `steps`: executed count on the XLA while_loop path and the Pallas
+        # forward (max over tiles, unroll-granular); the differentiable
+        # Pallas path (march_diff) reports the static cap.
         stats = RenderStats(
             steps=res.steps,
             escaped_frac=jnp.mean((res.status == ESCAPED).astype(jnp.float32)),

@@ -18,7 +18,7 @@ from typing import Callable, List, Optional
 import jax
 import numpy as np
 
-from blackstar_tpu.animation import Animation, camera_at, frame_filename, validate_keyframes
+from blackstar_tpu.animation import Animation, camera_at, pad_zero, validate_keyframes
 from blackstar_tpu.config import Config, Scene
 
 
@@ -120,7 +120,7 @@ def render_animation(
             for j in range(min(b, n - start)):
                 i = start + j
                 path = os.path.join(
-                    out_dir, frame_filename(basename, n, i).replace(".yaml", ".png")
+                    out_dir, f"{basename}_{pad_zero(n - 1, i)}.png"
                 )
                 if writer is not None:
                     writer.submit(path, imgs[j])
@@ -131,10 +131,15 @@ def render_animation(
                 paths.append(path)
                 if progress is not None:
                     progress(i + 1, n)
-    finally:
+    except BaseException:
+        # Drain the pool but let the original error (OOM, interrupt, ...)
+        # propagate instead of masking it with a write-failure report.
         if writer is not None:
-            errors = writer.wait()
             writer.close()
-            if errors:
-                raise IOError(f"{errors} animation frame(s) failed to write")
+        raise
+    if writer is not None:
+        errors = writer.wait()
+        writer.close()
+        if errors:
+            raise IOError(f"{errors} animation frame(s) failed to write")
     return paths
