@@ -34,9 +34,12 @@ def main() -> None:
     star_grid = None
     grid_path = os.path.join(here, "stars.grid.npz")
     if os.path.exists(grid_path):
-        from blackstar_tpu.stars.grid import load_star_grid
+        try:
+            from blackstar_tpu.stars.grid import load_star_grid
 
-        star_grid = load_star_grid(grid_path, dtype=static.jdtype)
+            star_grid = load_star_grid(grid_path, dtype=static.jdtype)
+        except Exception:
+            star_grid = None  # stale/incompatible grid: bench without stars
 
     # Reduce on device so timing forces execution with a scalar fetch (on
     # tunneled platforms block_until_ready alone may not block).
