@@ -22,11 +22,12 @@ from blackstar_tpu.ops.march_pallas import march_pallas
 
 @functools.lru_cache(maxsize=64)
 def _make_march_diff(step_size: float, max_steps: int, disk_on: bool,
-                     components: bool):
+                     components: bool, interpret: bool):
     """Build (and cache) the custom-vjp march for one static configuration.
 
     ``components`` selects whether vel0 arrives as an (N, 3) array or as a
     tuple of three flat planes — gradients mirror the input structure.
+    ``interpret`` runs both kernels in the Pallas interpreter (CPU testing).
     """
 
     @jax.custom_vjp
@@ -43,6 +44,7 @@ def _make_march_diff(step_size: float, max_steps: int, disk_on: bool,
             disk_outer=outer,
             disk_opacity=opacity,
             disk_rgb=disk_rgb,
+            interpret=interpret,
         )
         return res.acc_rgba, res.vel, res.status
 
@@ -67,6 +69,7 @@ def _make_march_diff(step_size: float, max_steps: int, disk_on: bool,
             disk_outer=outer,
             disk_opacity=opacity,
             disk_rgb=disk_rgb,
+            interpret=interpret,
         )
         if components:
             g_vel0 = (g_vel0[:, 0], g_vel0[:, 1], g_vel0[:, 2])
@@ -99,10 +102,13 @@ def march_diff(
     opacity,
     disk_rgb,
     safe,
+    interpret: bool = False,
 ) -> MarchResult:
     """Differentiable Pallas march. vel0: (N, 3) array or 3-tuple of planes."""
     components = isinstance(vel0, (tuple, list))
-    f = _make_march_diff(float(step_size), int(max_steps), bool(disk_on), components)
+    f = _make_march_diff(
+        float(step_size), int(max_steps), bool(disk_on), components, bool(interpret)
+    )
     if components:
         vel0 = tuple(vel0)
     acc, vel, status = f(pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe)

@@ -127,6 +127,63 @@ class TestFiniteDifference:
         )
 
 
+def test_grad_star_params_finite_difference():
+    """FD gates for starIntensity/starSaturation — gradients flow through
+    the escaped-ray velocity into the celestial-sphere lookup."""
+    from blackstar_tpu.camera import generate_rays
+    from blackstar_tpu.geodesic import ESCAPED
+    from blackstar_tpu.render import run_march
+    from blackstar_tpu.stars.catalog import Catalog
+    from blackstar_tpu.stars.grid import build_star_grid
+
+    cfg = _cfg(res=(10, 6), diskOpacity=0.4, maxSteps=250)
+    params, static = cfg.params(), cfg.static()
+
+    # Place stars exactly on (slightly perturbed) escaped-ray directions so
+    # the PSF query actually hits — a random catalogue almost never lands
+    # within the 0.0015-rad query radius of only 60 rays.
+    pos0, vel0 = generate_rays(params.camera, static.render_width,
+                               static.render_height, dtype=jnp.float64)
+    res = run_march(pos0, vel0, params, static, use_pallas=False)
+    esc = np.asarray(res.vel)[np.asarray(res.status) == ESCAPED]
+    esc = esc / np.linalg.norm(esc, axis=-1, keepdims=True)
+    rng = np.random.default_rng(9)
+    spos = np.repeat(esc, 3, axis=0) + 5e-4 * rng.normal(size=(esc.shape[0] * 3, 3))
+    spos = spos / np.linalg.norm(spos, axis=-1, keepdims=True)
+    cat = Catalog(
+        pos=spos,
+        mag=rng.integers(600, 1100, len(spos)).astype(np.int32),
+        hue=np.full(len(spos), 0.094),
+        sat=np.full(len(spos), 0.29),
+    )
+    grid = build_star_grid(cat, dtype=jnp.float64)
+    target = render(params, static, grid, differentiable=True) * 0.9
+
+    def loss(p):
+        return image_loss(p, static, target, grid)
+
+    # Guard against a vacuous test (0 == 0 passes allclose): rays must
+    # actually escape and hit stars for these gradients to exist.
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g.stars.intensity)) > 0
+
+    for get, set_ in [
+        (
+            lambda p: p.stars.intensity,
+            lambda p, v: dataclasses.replace(
+                p, stars=dataclasses.replace(p.stars, intensity=v)
+            ),
+        ),
+        (
+            lambda p: p.stars.saturation,
+            lambda p, v: dataclasses.replace(
+                p, stars=dataclasses.replace(p.stars, saturation=v)
+            ),
+        ),
+    ]:
+        _fd_check(loss, params, get, set_, eps=1e-6, rtol=1e-3, atol=1e-12)
+
+
 def test_fit_recovers_disk_outer():
     """Gradient descent pulls a perturbed diskOuter back toward the truth."""
     cfg = _cfg(res=(16, 9), diskOpacity=0.95, diskInner=1.8, diskOuter=13.0)

@@ -1,0 +1,71 @@
+"""The custom-vjp Pallas march (march_diff) in interpret mode vs jax.grad
+of the XLA march — covers the full kernel-forward + kernel-adjoint gradient
+path on CPU."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blackstar_tpu.color import hsi_to_rgb
+from blackstar_tpu.config import Config
+from blackstar_tpu.ops.march_diff import march_diff
+from blackstar_tpu.render import render, run_march
+
+
+def _cfg():
+    return Config.from_dict(
+        {
+            "camera": {"position": [0, 1, -20], "lookAt": [0, 0, 0],
+                       "upVec": [0, 1, 0], "fov": 1.5},
+            "scene": {"resolution": [8, 5], "diskOpacity": 0.9, "maxSteps": 64,
+                      "dtype": "float32"},
+        }
+    )
+
+
+def test_march_diff_gradients_match_scan_path():
+    cfg = _cfg()
+    params, static = cfg.params(), cfg.static()
+    from blackstar_tpu.camera import generate_rays
+    from blackstar_tpu.render import safe_distance
+
+    pos0, vel0 = generate_rays(params.camera, static.render_width,
+                               static.render_height, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    w_acc = jnp.asarray(rng.normal(size=(vel0.shape[0], 4)), jnp.float32)
+    w_vel = jnp.asarray(rng.normal(size=vel0.shape), jnp.float32)
+
+    def loss_kernel(mass, inner, outer, opacity, hsi, v0):
+        res = march_diff(
+            pos0, v0, step_size=static.step_size, max_steps=static.max_steps,
+            disk_on=True, mass=mass, inner=inner, outer=outer, opacity=opacity,
+            disk_rgb=hsi_to_rgb(hsi), safe=safe_distance(params, jnp.float32),
+            interpret=True,
+        )
+        return jnp.sum(w_acc * res.acc_rgba) + jnp.sum(w_vel * res.vel)
+
+    def loss_scan(mass, inner, outer, opacity, hsi, v0):
+        p = dataclasses.replace(
+            params,
+            mass=mass,
+            disk=dataclasses.replace(
+                params.disk, inner=inner, outer=outer, opacity=opacity,
+                color_hsi=hsi,
+            ),
+        )
+        res = run_march(pos0, v0, p, static, differentiable=True, use_pallas=False)
+        return jnp.sum(w_acc * res.acc_rgba) + jnp.sum(w_vel * res.vel)
+
+    args = (
+        params.mass, params.disk.inner, params.disk.outer,
+        params.disk.opacity, params.disk.color_hsi, vel0,
+    )
+    gk = jax.grad(loss_kernel, argnums=tuple(range(6)))(*args)
+    gs = jax.grad(loss_scan, argnums=tuple(range(6)))(*args)
+    names = ["mass", "inner", "outer", "opacity", "hsi", "vel0"]
+    for name, a, b in zip(names, gk, gs):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=name
+        )
