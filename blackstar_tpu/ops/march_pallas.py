@@ -44,13 +44,16 @@ LANES = 128
 DEFAULT_BLOCK_ROWS = 32  # 32×128 = 4096 rays/tile ≈ 0.25 MB of VMEM state
 UNROLL = 16  # RK4 steps per while-loop iteration (amortises the `any` check)
 DISK_COND = False  # unconditional disk shading beats per-substep lax.cond
-# Tuning (v5e, scenes/default.yaml @1080p, bare march): rows 24-32 with
-# unroll 16 and unconditional disk shading reach ~48 Mrays/s vs ~5 for the
-# XLA while_loop path. A Z-order pixel permutation LOSES ~35% to gather
-# cost — per-ray step counts are near-uniform on real scenes (p50=230,
-# max=272), so contiguous row-band tiles already capture ~91% of the ideal
-# schedule (see scripts/march_stats.py) and per-substep lax.cond costs more
-# in vector->scalar syncs than it saves in skipped transcendentals.
+DISK_DEFER = True  # block-level deferred shading: skip div/sqrt/sin per block
+# Tuning (v5e, scenes/default.yaml @1080p, bare march): rows 32 / unroll 16
+# with *deferred* disk shading reaches ~64 Mrays/s (inline shading: ~53,
+# XLA while_loop path: ~5; no-disk ceiling: ~79). A Z-order pixel
+# permutation LOSES ~35% to gather cost — per-ray step counts are
+# near-uniform on real scenes (p50=230, max=272), so contiguous row-band
+# tiles already capture ~91% of the ideal schedule (see
+# scripts/march_stats.py). Per-substep lax.cond costs more in
+# vector->scalar syncs than it saves in skipped transcendentals; the
+# block-level deferred cond (one sync per `unroll` substeps) is the win.
 
 
 def _part1by1(v: np.ndarray) -> np.ndarray:
@@ -109,6 +112,7 @@ def _march_kernel(
     disk_on: bool,
     unroll: int,
     disk_cond: bool = DISK_COND,
+    disk_defer: bool = DISK_DEFER,
 ):
     h = scal_ref[_S_H]
     mass = scal_ref[_S_MASS]
@@ -210,6 +214,16 @@ def _march_kernel(
     def body(carry):
         i, px, py, pz, vx, vy, vz, r2cur, ar, ag, ab, aa, status = carry
 
+        # Deferred disk shading (disk_defer): crossings are rare (~1-2 steps
+        # out of ~220 per ray) and spatially-coherent tiles cross in the same
+        # few unroll blocks, so instead of paying div+sqrt+sin every substep
+        # (~33% of march time) the loop only *records* the crossing inputs
+        # per substep and a single block-level lax.cond replays the shades in
+        # substep order iff any lane in the tile is a candidate. One
+        # vector->scalar sync per block (vs per substep, which measured as a
+        # net loss — see DISK_COND note above); bit-identical results.
+        stash = []
+
         for j in range(unroll):
             npx, npy, npz, nvx, nvy, nvz = rk4(px, py, pz, vx, vy, vz, r2cur)
 
@@ -233,7 +247,9 @@ def _march_kernel(
                 sign_flip = jnp.sign(py) != jnp.sign(npy)
                 candidate = cont & sign_flip & opacity_on
                 args = (candidate, r2, r2n, py, npy, ar, ag, ab, aa)
-                if disk_cond:
+                if disk_defer:
+                    stash.append((candidate, r2, r2n, py, npy))
+                elif disk_cond:
                     ar, ag, ab, aa = jax.lax.cond(
                         jnp.any(candidate), shade_disk, lambda a: a[5:9], args
                     )
@@ -258,6 +274,23 @@ def _march_kernel(
             vy = jnp.where(cont, nvy, vy)
             vz = jnp.where(cont, nvz, vz)
             r2cur = jnp.where(cont, r2n, r2cur)
+
+        if stash:
+            any_c = stash[0][0]
+            for c, *_ in stash[1:]:
+                any_c = any_c | c
+
+            def apply_shades(acc):
+                sar, sag, sab, saa = acc
+                for cand, sr2, sr2n, spy, snpy in stash:
+                    sar, sag, sab, saa = shade_disk(
+                        (cand, sr2, sr2n, spy, snpy, sar, sag, sab, saa)
+                    )
+                return sar, sag, sab, saa
+
+            ar, ag, ab, aa = jax.lax.cond(
+                jnp.any(any_c), apply_shades, lambda acc: acc, (ar, ag, ab, aa)
+            )
 
         return (i + unroll, px, py, pz, vx, vy, vz, r2cur, ar, ag, ab, aa, status)
 
@@ -298,6 +331,7 @@ def march_pallas(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     unroll: int = UNROLL,
     disk_cond: bool = DISK_COND,
+    disk_defer: bool = DISK_DEFER,
     image_shape: Optional[Tuple[int, int]] = None,
     interpret: bool = False,
 ) -> MarchResult:
@@ -367,7 +401,8 @@ def march_pallas(
 
     outs = pl.pallas_call(
         functools.partial(
-            _march_kernel, disk_on=disk_on, unroll=unroll, disk_cond=disk_cond
+            _march_kernel, disk_on=disk_on, unroll=unroll, disk_cond=disk_cond,
+            disk_defer=disk_defer,
         ),
         grid=(grid,),
         in_specs=[smem_spec, smem_spec, smem_spec] + [vmem_spec] * 3,

@@ -13,7 +13,7 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-from blackstar_tpu.camera import generate_rays
+from blackstar_tpu.camera import generate_ray_components
 from blackstar_tpu.color import hsi_to_rgb
 from blackstar_tpu.config import load_config
 from blackstar_tpu.ops.march_pallas import march_pallas
@@ -23,13 +23,13 @@ from blackstar_tpu.render import safe_distance
 def main():
     cfg = load_config("scenes/default.yaml")
     params, static = cfg.params(), cfg.static()
-    pos0, vel0 = generate_rays(
+    pos0, vel0 = generate_ray_components(
         params.camera, static.render_width, static.render_height, dtype=jnp.float32
     )
     n = static.n_rays
     print(f"n_rays={n} max_steps={static.max_steps}")
 
-    def make(block_rows, unroll, zorder, disk_cond=True):
+    def make(block_rows, unroll, shading):
         def f(v):
             res = march_pallas(
                 pos0,
@@ -45,28 +45,28 @@ def main():
                 disk_rgb=hsi_to_rgb(params.disk.color_hsi.astype(jnp.float32)),
                 block_rows=block_rows,
                 unroll=unroll,
-                disk_cond=disk_cond,
-                image_shape=(static.render_height, static.render_width) if zorder else None,
+                disk_cond=shading == "cond",
+                disk_defer=shading == "defer",
             )
             return jnp.sum(res.acc_rgba), jnp.sum(res.status)
 
         return jax.jit(f)
 
     import itertools
-    for block_rows, unroll, disk_cond in itertools.product(
-        (64, 128), (8, 16), (True, False)
+    for block_rows, unroll, shading in itertools.product(
+        (16, 24, 32, 64), (8, 16, 32), ("defer", "inline")
     ):
-            f = make(block_rows, unroll, False, disk_cond)
+            f = make(block_rows, unroll, shading)
             try:
                 s, st = f(vel0)
                 s = float(s)
             except Exception as e:
                 print(f"rows={block_rows:4d} unroll={unroll}  FAILED: {str(e)[:80]}")
                 continue
-            # Pipeline 4 dispatches, fetch once: amortises tunnel overhead.
-            reps = 4
+            # Pipeline several dispatches, fetch once: amortises tunnel overhead.
+            reps = 8
             ts = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 outs = [f(vel0) for _ in range(reps)]
                 for o in outs:
@@ -74,7 +74,7 @@ def main():
                 ts.append((time.perf_counter() - t0) / reps)
             best = min(ts)
             print(
-                f"rows={block_rows:4d} unroll={unroll} cond={int(disk_cond)}  "
+                f"rows={block_rows:4d} unroll={unroll} {shading:6s}  "
                 f"{best*1e3:7.1f} ms  {n/best/1e6:6.2f} Mrays/s  (checksum {s:.1f})"
             )
 
