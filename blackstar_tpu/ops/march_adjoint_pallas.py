@@ -43,12 +43,22 @@ from blackstar_tpu.ops.march_pallas import (
     _S_OUTER2,
     _S_SAFE,
 )
-from blackstar_tpu.ops.march_vjp import AdjointCarry, Dot3, StepConsts, step_primal, step_vjp
+from blackstar_tpu.ops.march_vjp import (
+    AdjointCarry,
+    Dot3,
+    StepConsts,
+    alpha_shade,
+    step_primal,
+    step_vjp,
+)
 
 ADJ_BLOCK_ROWS = 16  # 2048 rays/tile (best measured; ~2.5 MB VMEM scratch)
 ADJ_SEG_LEN = 16  # steps per checkpoint segment
-# Measured v5e @1080p, 601-step cap: ~133 ms (15.6 Mrays/s backward),
-# flat within ±5% across rows∈{8,16,32} × seg∈{16,32} — compute-bound.
+# Measured v5e @1080p, 601-step cap: ~120 ms (17.3 Mrays/s backward) with
+# segment-deferred disk shading (~125 ms inline) — the deferral win is
+# smaller than the forward kernel's because the VJP is dominated by the
+# doubled RK4 recomputation, not the blend math. Best across rows∈{8,16,32}
+# × seg∈{8,16,32} is the (16, 16) default.
 
 # Lane layout of the per-tile scalar-partials output row.
 G_MASS = 0
@@ -79,6 +89,7 @@ def _adjoint_kernel(
     disk_on: bool,
     seg_len: int,
     n_seg_max: int,
+    defer_shade: bool,
 ):
     h = scal_ref[_S_H]
     mass = scal_ref[_S_MASS]
@@ -128,14 +139,38 @@ def _adjoint_kernel(
             jnp.any(status == 0),
         )
 
+    defer = disk_on and defer_shade
+
     def a_body(carry):
         seg, px, py, pz, wx, wy, wz, aa, status = carry
         p = Dot3(px, py, pz)
         v = Dot3(wx, wy, wz)
+        # Deferred disk shading (same scheme as the forward kernel): record
+        # crossing inputs per substep, apply them in order behind one
+        # segment-level cond iff any lane is a candidate. Bit-identical.
+        stash = []
         for j in range(seg_len):
             valid = seg * seg_len + j < cap
-            p, v, aa, status = step_primal(p, v, aa, status, consts, valid,
-                                           disk_on=disk_on)
+            if defer:
+                p, v, aa, status, st = step_primal(
+                    p, v, aa, status, consts, valid, disk_on=True,
+                    defer_shade=True,
+                )
+                stash.append(st)
+            else:
+                p, v, aa, status = step_primal(p, v, aa, status, consts, valid,
+                                               disk_on=disk_on)
+        if defer:
+            any_c = stash[0][0]
+            for st in stash[1:]:
+                any_c = any_c | st[0]
+
+            def apply_shades(a):
+                for st in stash:
+                    a = alpha_shade(*st, a, consts)
+                return a
+
+            aa = jax.lax.cond(jnp.any(any_c), apply_shades, lambda a: a, aa)
         seg = seg + 1
         ck_px[seg] = p.x
         ck_py[seg] = p.y
@@ -171,7 +206,12 @@ def _adjoint_kernel(
         v = Dot3(ck_vx[seg], ck_vy[seg], ck_vz[seg])
         aa = ck_aa[seg]
         status = ck_st[seg]
-        # Replay the segment, storing every pre-step state.
+        # Replay the segment, storing every pre-step state. With deferral
+        # the alpha stays segment-constant through the replay (crossings are
+        # recorded, not applied), so the sb_aa stores are provisional; the
+        # fix-up cond below rewrites them with the true evolution iff any
+        # lane crossed in this segment.
+        stash = []
         for j in range(seg_len):
             sb_px[j] = p.x
             sb_py[j] = p.y
@@ -182,8 +222,29 @@ def _adjoint_kernel(
             sb_aa[j] = aa
             sb_st[j] = status
             valid = seg * seg_len + j < cap
-            p, v, aa, status = step_primal(p, v, aa, status, consts, valid,
-                                           disk_on=disk_on)
+            if defer:
+                p, v, aa, status, st = step_primal(
+                    p, v, aa, status, consts, valid, disk_on=True,
+                    defer_shade=True,
+                )
+                stash.append(st)
+            else:
+                p, v, aa, status = step_primal(p, v, aa, status, consts, valid,
+                                               disk_on=disk_on)
+        if defer:
+            any_c = stash[0][0]
+            for st in stash[1:]:
+                any_c = any_c | st[0]
+            has_cross = jnp.any(any_c)
+
+            def fix_aa(a):
+                for j, st in enumerate(stash):
+                    sb_aa[j] = a
+                    a = alpha_shade(*st, a, consts)
+                return a
+
+            jax.lax.cond(has_cross, fix_aa, lambda a: a, ck_aa[seg])
+
         carry_adj = AdjointCarry(
             pbar=Dot3(pbx, pby, pbz),
             vbar=Dot3(vbx, vby, vbz),
@@ -192,14 +253,29 @@ def _adjoint_kernel(
             inner_bar=ib, outer_bar=ob, opacity_bar=opb,
             rgb0_bar=r0b, rgb1_bar=r1b, rgb2_bar=r2b,
         )
-        for j in range(seg_len - 1, -1, -1):
-            pre_p = Dot3(sb_px[j], sb_py[j], sb_pz[j])
-            pre_v = Dot3(sb_vx[j], sb_vy[j], sb_vz[j])
-            valid = seg * seg_len + j < cap
-            carry_adj = step_vjp(
-                pre_p, pre_v, sb_aa[j], sb_st[j], consts, valid, carry_adj,
-                disk_on=disk_on,
+
+        def run_vjp(with_disk):
+            def run(ca):
+                for j in range(seg_len - 1, -1, -1):
+                    pre_p = Dot3(sb_px[j], sb_py[j], sb_pz[j])
+                    pre_v = Dot3(sb_vx[j], sb_vy[j], sb_vz[j])
+                    valid = seg * seg_len + j < cap
+                    ca = step_vjp(
+                        pre_p, pre_v, sb_aa[j], sb_st[j], consts, valid, ca,
+                        disk_on=with_disk,
+                    )
+                return ca
+            return run
+
+        if defer:
+            # No candidate in the segment ⇒ every disk-VJP contribution is
+            # exactly zero ⇒ the no-disk sweep is bitwise equivalent (and
+            # skips the sin/cos/div/sqrt chains of the blend VJP).
+            carry_adj = jax.lax.cond(
+                has_cross, run_vjp(True), run_vjp(False), carry_adj
             )
+        else:
+            carry_adj = run_vjp(disk_on)(carry_adj)
         ca = carry_adj
         return (seg, ca.pbar.x, ca.pbar.y, ca.pbar.z,
                 ca.vbar.x, ca.vbar.y, ca.vbar.z,
@@ -269,6 +345,7 @@ def march_adjoint_pallas(
     disk_rgb: jnp.ndarray,
     block_rows: int = ADJ_BLOCK_ROWS,
     seg_len: int = ADJ_SEG_LEN,
+    defer_shade: bool = True,
     interpret: bool = False,
 ):
     """Gradients of the march outputs w.r.t. every differentiable input.
@@ -276,6 +353,9 @@ def march_adjoint_pallas(
     Returns ``(pos0̄ (3,), vel0̄ (N,3), mass̄, inner̄, outer̄, opacitȳ,
     rgb̄ (3,))`` — exactly what reverse-mode AD of the scan march computes
     (see tests/test_march_adjoint.py for the equivalence gate).
+
+    ``defer_shade`` (bitwise-identical, verified on hardware) skips the
+    blend math/VJP for crossing-free segments behind per-segment conds.
     """
     f32 = jnp.float32
     if isinstance(vel0, (tuple, list)):
@@ -340,7 +420,8 @@ def march_adjoint_pallas(
 
     outs = pl.pallas_call(
         functools.partial(
-            _adjoint_kernel, disk_on=disk_on, seg_len=seg_len, n_seg_max=n_seg_max
+            _adjoint_kernel, disk_on=disk_on, seg_len=seg_len,
+            n_seg_max=n_seg_max, defer_shade=defer_shade,
         ),
         grid=(grid,),
         in_specs=[smem_spec] * 3 + [vmem_spec] * 10,

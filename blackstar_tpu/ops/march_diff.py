@@ -69,6 +69,11 @@ def _make_march_diff(step_size: float, max_steps: int, disk_on: bool,
             disk_outer=outer,
             disk_opacity=opacity,
             disk_rgb=disk_rgb,
+            # Deferred shading is bitwise-identical but pathologically slow
+            # to trace under the Pallas interpreter (CPU tests) — inline it
+            # there; tests/test_march_adjoint_pallas.py covers the deferred
+            # variant on a tiny interpret case.
+            defer_shade=not interpret,
             interpret=interpret,
         )
         if components:

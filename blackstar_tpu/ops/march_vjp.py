@@ -207,30 +207,55 @@ def _step_masks(status, r2, rs2, safe):
     return hit_h, hit_e, cont
 
 
+def alpha_shade(cand, r2, r2n, y, ny, acc_a, c: StepConsts):
+    """Apply one (candidate-masked) disk crossing to the running alpha.
+
+    ``cand`` = cont ∧ opacity≠0 ∧ sign-flip; the radius-window test and the
+    divide/sqrt/sin live here so callers can *defer* this whole function
+    behind a block-level ``lax.cond`` (see ops/march_pallas.py — crossings
+    are rare, this is the expensive part of a step). Alpha outputs are
+    bitwise identical to the inline form: non-candidate lanes never update.
+    """
+    ds = jnp.where(cand, ny - y, 1.0)
+    r2ave = (ny * r2 - y * r2n) / ds
+    hit = cand & (r2ave > c.in2) & (r2ave < c.out2)
+    r2s = jnp.where(hit, r2ave, c.mid)
+    r = jnp.sqrt(r2s)
+    frac = (c.outer - r) / (c.outer - c.inner)
+    intensity = jnp.sin(jnp.pi * frac * frac)
+    return jnp.where(hit, acc_a + intensity * c.opacity * (1.0 - acc_a), acc_a)
+
+
 def step_primal(p: Dot3, v: Dot3, acc_a, status, c: StepConsts, valid,
-                *, disk_on: bool):
+                *, disk_on: bool, defer_shade: bool = False):
     """One primal march step (alpha + status only — the RGB accumulators are
-    identity under the blend and not needed by the adjoint)."""
+    identity under the blend and not needed by the adjoint).
+
+    With ``defer_shade=True`` the alpha update is NOT applied; instead the
+    step returns a fifth element — the ``alpha_shade`` argument stash
+    ``(cand, r2, r2n, y, ny)`` — so the caller can batch crossings behind
+    one block-level cond. ``acc_a`` passes through untouched in that mode.
+    """
     np_, nv = rk4_fwd(p, v, c.h, c.coef)
     r2 = p.dot(p)
     hit_h, hit_e, cont = _step_masks(status, r2, c.rs2, c.safe)
     hit_h = hit_h & valid
     hit_e = hit_e & valid
     cont = cont & valid
+    stash = None
     if disk_on:
         r2n = np_.dot(np_)
         flip = jnp.sign(p.y) != jnp.sign(np_.y)
-        ds = jnp.where(flip, np_.y - p.y, 1.0)
-        r2ave = (np_.y * r2 - p.y * r2n) / ds
-        hit = cont & (c.opacity != 0) & flip & (r2ave > c.in2) & (r2ave < c.out2)
-        r2s = jnp.where(hit, r2ave, c.mid)
-        r = jnp.sqrt(r2s)
-        frac = (c.outer - r) / (c.outer - c.inner)
-        intensity = jnp.sin(jnp.pi * frac * frac)
-        acc_a = jnp.where(hit, acc_a + intensity * c.opacity * (1.0 - acc_a), acc_a)
+        cand = cont & (c.opacity != 0) & flip
+        if defer_shade:
+            stash = (cand, r2, r2n, p.y, np_.y)
+        else:
+            acc_a = alpha_shade(cand, r2, r2n, p.y, np_.y, acc_a, c)
     status = status + 2 * hit_h.astype(jnp.int32) + hit_e.astype(jnp.int32)
     p = Dot3(*(jnp.where(cont, a, b) for a, b in zip(np_, p)))
     v = Dot3(*(jnp.where(cont, a, b) for a, b in zip(nv, v)))
+    if defer_shade:
+        return p, v, acc_a, status, stash
     return p, v, acc_a, status
 
 

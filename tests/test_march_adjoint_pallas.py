@@ -25,8 +25,11 @@ def _setup(n=96, disk_opacity=0.95, seed=4):
     return pos0, vel0, cot_acc, cot_vel
 
 
+@pytest.mark.parametrize("defer", [True, False], ids=["defer", "inline"])
 @pytest.mark.parametrize("disk_opacity", [0.95, 0.0], ids=["disk", "no-disk"])
-def test_pallas_adjoint_matches_reference(disk_opacity):
+def test_pallas_adjoint_matches_reference(disk_opacity, defer):
+    if disk_opacity == 0.0 and not defer:
+        pytest.skip("defer is a no-op with the disk off")
     pos0, vel0, cot_acc, cot_vel = _setup(disk_opacity=disk_opacity)
     disk_on = disk_opacity != 0.0
     kw = dict(
@@ -47,7 +50,7 @@ def test_pallas_adjoint_matches_reference(disk_opacity):
         mass=kw["mass"], safe_distance=kw["safe"], disk_on=disk_on,
         disk_inner=kw["inner"], disk_outer=kw["outer"],
         disk_opacity=kw["opacity"], disk_rgb=kw["disk_rgb"],
-        block_rows=2, seg_len=8, interpret=True,
+        block_rows=2, seg_len=8, defer_shade=defer, interpret=True,
     )
     names = ["pos0", "vel0", "mass", "inner", "outer", "opacity", "rgb"]
     for name, w, g in zip(names, want, got):
