@@ -186,8 +186,11 @@ class StarGrid:
         )
         cell = ring * self.n_cols + col
 
-        # ONE contiguous-row gather per ray: (N, K, 8).
-        data = self.cell_data[cell].astype(dt)
+        # ONE contiguous-row gather per ray: (N, K, 8). Gather from the 2-D
+        # (C, K·8) view — XLA lowers a 3-D row gather ~3.5× slower on TPU
+        # (162 vs 46 ms for 2M rays) than the identical-bytes 2-D one.
+        flat = self.cell_data.reshape(self.cell_data.shape[0], -1)
+        data = flat[cell].reshape(n, self.pad_k, _ROW).astype(dt)
         spos = data[..., 0:3]
         smag = data[..., 3]
         sbasis = data[..., 4:7]  # H = s_star·G(h_star), see module docstring
