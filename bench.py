@@ -41,23 +41,40 @@ def main() -> None:
         except Exception:
             star_grid = None  # stale/incompatible grid: bench without stars
 
-    # Reduce on device so timing forces execution with a scalar fetch (on
-    # tunneled platforms block_until_ready alone may not block).
-    fn = jax.jit(lambda p, g: jnp.sum(render(p, static, g)))
+    # Steady-state device throughput: render K frames back-to-back inside
+    # ONE dispatch (each with an O(1e-7) mass perturbation so XLA cannot
+    # hoist the loop-invariant render), reduced on device so timing forces
+    # execution with a scalar fetch (on tunneled platforms block_until_ready
+    # alone may not block). One K-frame dispatch runs ~240 ms, so the
+    # experimental axon tunnel's ~27 ms per-dispatch overhead stays <2% of
+    # the measurement instead of capping it; on a directly-attached TPU this
+    # agrees with per-frame dispatch timing.
+    import dataclasses
+
+    frames_per_call = 8
+
+    def k_frames(p, g):
+        def body(i, acc):
+            p2 = dataclasses.replace(p, mass=p.mass + 1e-7 * i)
+            return acc + jnp.sum(render(p2, static, g))
+
+        return jax.lax.fori_loop(0, frames_per_call, body, jnp.float32(0.0))
+
+    fn = jax.jit(k_frames)
     # Warm-up / compile.
     float(fn(params, star_grid))
 
     n_rays = static.render_width * static.render_height
-    # Keep several dispatches in flight before fetching, so per-call host
-    # round-trip overhead is amortised out of the steady-state number.
-    reps = 8
+    # Keep a couple of dispatches in flight before fetching, so per-call
+    # host round-trip overhead is amortised out of the steady-state number.
+    reps = 2
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [fn(params, star_grid) for _ in range(reps)]
         for o in outs:
             float(o)
-        times.append((time.perf_counter() - t0) / reps)
+        times.append((time.perf_counter() - t0) / (reps * frames_per_call))
     best = min(times)
 
     mrays = n_rays / best / 1e6

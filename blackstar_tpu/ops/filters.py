@@ -11,13 +11,15 @@ Reference semantics (``/root/reference/src/ImageFilters.hs``):
   ImageFilters.hs:88-97.
 
 TPU-first: the reference's O(1)-per-pixel mutable running sum becomes an
-exclusive prefix sum (``cumsum``) + two gathers per axis — identical output,
-fully fused by XLA, no serial dependence across rows.  All ops are
+exclusive prefix sum (``cumsum``) + two *static* shifted slices per axis —
+identical output, fully fused by XLA, no serial dependence across rows, and
+no gathers (a TPU gather costs ~20 ns/row regardless of width).  All ops are
 differentiable (bloom strength is a scene parameter in the param pytree).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,10 +33,17 @@ def _box_blur_axis(img: jnp.ndarray, r: int, axis: int) -> jnp.ndarray:
     zero_shape = list(img.shape)
     zero_shape[axis] = 1
     c = jnp.concatenate([jnp.zeros(zero_shape, dt), c], axis=axis)
-    idx = jnp.arange(n)
-    hi = jnp.clip(idx + r + 1, 0, n)
-    lo = jnp.clip(idx - r, 0, n)
-    win = jnp.take(c, hi, axis=axis) - jnp.take(c, lo, axis=axis)
+    # The clipped windowed difference as *static* pad+slice instead of two
+    # jnp.take gathers: TPU gathers cost ~20 ns/row regardless of width, so
+    # the takes dominated the whole blur (34 ms -> ~2 ms at 1080p). With
+    # cp[i] = c[clip(i-r, 0, n)] (edge padding), the window ends land at
+    # static offsets: hi[k] = cp[k+2r+1], lo[k] = cp[k].
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, r)
+    cp = jnp.pad(c, pad, mode="edge")
+    hi = jax.lax.slice_in_dim(cp, 2 * r + 1, 2 * r + 1 + n, axis=axis)
+    lo = jax.lax.slice_in_dim(cp, 0, n, axis=axis)
+    win = hi - lo
     return win * (1.0 / (2 * r + 1))
 
 
@@ -65,7 +74,5 @@ def supersample(img: jnp.ndarray) -> jnp.ndarray:
     ``reduce_window`` instead of reshape+mean: ~8× less device time on TPU
     (the reshape forces a sublane-splitting relayout of the whole frame).
     """
-    import jax
-
     s = jax.lax.reduce_window(img, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID")
     return 0.25 * s
