@@ -246,15 +246,16 @@ def _march_kernel(
                 opacity_on = scal_ref[_S_OPACITY] != 0.0
                 sign_flip = jnp.sign(py) != jnp.sign(npy)
                 candidate = cont & sign_flip & opacity_on
-                args = (candidate, r2, r2n, py, npy, ar, ag, ab, aa)
                 if disk_defer:
                     stash.append((candidate, r2, r2n, py, npy))
-                elif disk_cond:
-                    ar, ag, ab, aa = jax.lax.cond(
-                        jnp.any(candidate), shade_disk, lambda a: a[5:9], args
-                    )
                 else:
-                    ar, ag, ab, aa = shade_disk(args)
+                    args = (candidate, r2, r2n, py, npy, ar, ag, ab, aa)
+                    if disk_cond:
+                        ar, ag, ab, aa = jax.lax.cond(
+                            jnp.any(candidate), shade_disk, lambda a: a[5:9], args
+                        )
+                    else:
+                        ar, ag, ab, aa = shade_disk(args)
 
             # Arithmetic status update (avoids int selects, which trip a
             # Mosaic relayout bug): events only fire while status == ACTIVE
