@@ -87,6 +87,14 @@ def load(auto_build: bool = True):
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.bs_writer_submit_rgb8.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
     lib.bs_writer_wait.argtypes = [ctypes.c_void_p]
     lib.bs_writer_wait.restype = ctypes.c_int
     lib.bs_writer_destroy.argtypes = [ctypes.c_void_p]
@@ -103,6 +111,27 @@ def _as_f32_c(img: np.ndarray) -> np.ndarray:
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) image, got {arr.shape}")
     return arr
+
+
+def write_png_rgb8(rgb8: np.ndarray, path: str, *, level: int = 6) -> bool:
+    """Native sRGB-uint8 -> PNG write. Returns False if unavailable."""
+    lib = load()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(rgb8, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8 image, got {arr.shape}")
+    h, w, _ = arr.shape
+    rc = lib.bs_write_png_rgb8(
+        path.encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w,
+        h,
+        level,
+    )
+    if rc != 0:
+        raise IOError(f"native PNG write failed (rc={rc}) for {path}")
+    return True
 
 
 def write_png_linear(img: np.ndarray, path: str, *, level: int = 6, n_threads: int = 4) -> bool:
@@ -142,12 +171,29 @@ class AsyncFrameWriter:
         self._handle = lib.bs_writer_create(n_threads)
 
     def submit(self, path: str, img: np.ndarray, *, level: int = 6) -> None:
+        if np.asarray(img).dtype == np.uint8:
+            return self.submit_rgb8(path, img, level=level)
         arr = _as_f32_c(img)
         h, w, _ = arr.shape
         self._lib.bs_writer_submit(
             self._handle,
             path.encode(),
             arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            w,
+            h,
+            level,
+        )
+
+    def submit_rgb8(self, path: str, rgb8: np.ndarray, *, level: int = 6) -> None:
+        """Submit a frame already quantised to sRGB uint8 (device-encoded)."""
+        arr = np.ascontiguousarray(rgb8, dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError(f"expected (H, W, 3) uint8 image, got {arr.shape}")
+        h, w, _ = arr.shape
+        self._lib.bs_writer_submit_rgb8(
+            self._handle,
+            path.encode(),
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             w,
             h,
             level,

@@ -130,7 +130,8 @@ bool write_file(const char* path, const std::vector<uint8_t>& bytes) {
 
 struct Job {
   std::string path;
-  std::vector<float> linear;  // owned copy of the linear RGB frame
+  std::vector<float> linear;  // owned copy of the linear RGB frame, or
+  std::vector<uint8_t> rgb8;  // an already-encoded sRGB frame (one is empty)
   int w, h, level;
 };
 
@@ -160,8 +161,13 @@ struct Writer {
         queue.pop_front();
       }
       const int64_t n = static_cast<int64_t>(job.w) * job.h * 3;
-      std::vector<uint8_t> rgb8(n);
-      srgb_encode_rows(job.linear.data(), rgb8.data(), n, 1);
+      std::vector<uint8_t> rgb8;
+      if (job.rgb8.empty()) {
+        rgb8.resize(n);
+        srgb_encode_rows(job.linear.data(), rgb8.data(), n, 1);
+      } else {
+        rgb8 = std::move(job.rgb8);
+      }
       std::vector<uint8_t> png;
       bool ok = encode_png(rgb8.data(), job.w, job.h, job.level, png) &&
                 write_file(job.path.c_str(), png);
@@ -179,6 +185,19 @@ struct Writer {
     job.path = path;
     job.linear.assign(linear, linear + static_cast<int64_t>(w) * h * 3);
     job.w = w; job.h = h; job.level = level;
+    enqueue(std::move(job));
+  }
+
+  void submit_rgb8(const char* path, const uint8_t* rgb, int w, int h,
+                   int level) {
+    Job job;
+    job.path = path;
+    job.rgb8.assign(rgb, rgb + static_cast<int64_t>(w) * h * 3);
+    job.w = w; job.h = h; job.level = level;
+    enqueue(std::move(job));
+  }
+
+  void enqueue(Job&& job) {
     {
       std::lock_guard<std::mutex> lk(mu);
       queue.push_back(std::move(job));
@@ -236,6 +255,14 @@ void* bs_writer_create(int n_threads) {
 void bs_writer_submit(void* writer, const char* path, const float* linear,
                       int w, int h, int level) {
   static_cast<Writer*>(writer)->submit(path, linear, w, h, level);
+}
+
+// Like bs_writer_submit but for frames already quantised to sRGB uint8
+// (e.g. encoded on-device so only a quarter of the bytes cross the host
+// boundary).
+void bs_writer_submit_rgb8(void* writer, const char* path, const uint8_t* rgb,
+                           int w, int h, int level) {
+  static_cast<Writer*>(writer)->submit_rgb8(path, rgb, w, h, level);
 }
 
 // Blocks until all submitted frames are on disk; returns the error count.

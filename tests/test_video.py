@@ -53,7 +53,11 @@ def test_render_animation_endpoints_match_direct_render(tmp_path):
 
         ref_path = tmp_path / f"want{idx}.png"
         write_png(want, str(ref_path))
-        np.testing.assert_array_equal(read_png(paths[idx]), read_png(str(ref_path)))
+        # The animation path sRGB-encodes on device (f32), the reference via
+        # the host encoder (f64 pow) — documented to agree to 1 uint8 ulp.
+        got = read_png(paths[idx]).astype(np.int16)
+        ref = read_png(str(ref_path)).astype(np.int16)
+        assert np.abs(got - ref).max() <= 1
 
 
 def test_render_animation_invalid_keyframes(tmp_path):
@@ -89,4 +93,6 @@ def test_step_cap_covers_farthest_keyframe(tmp_path):
 
     ref = tmp_path / "want.png"
     write_png(want, str(ref))
-    np.testing.assert_array_equal(read_png(paths[1]), read_png(str(ref)))
+    got = read_png(paths[1]).astype(np.int16)
+    ref8 = read_png(str(ref)).astype(np.int16)
+    assert np.abs(got - ref8).max() <= 1
