@@ -112,14 +112,23 @@ def handle_scene(args, star_grid, outdir: str, filename: str, writer=None) -> bo
                 )
             )
 
+    # sRGB + uint8 quantisation on device: a quarter of the bytes cross the
+    # host boundary (the fetch dominates on tunneled TPUs). write_png and
+    # the writer pool both take already-encoded uint8 frames directly.
+    import jax
+
+    from blackstar_tpu.imageio import encode_rgb8
+
+    rgb8 = np.asarray(jax.jit(encode_rgb8)(img))
+
     print(f"Saving to {out_name}...")
     if writer is not None and args.force and not os.path.exists(out_name):
         # Batch mode with the native pool: hand the frame to a writer thread
         # and start the next render immediately (keeps the device busy).
-        writer.submit(out_name, np.asarray(img))
+        writer.submit(out_name, rgb8)
     else:
         prompt_overwrite_file(
-            out_name, lambda p: write_png(np.asarray(img), p), force=args.force
+            out_name, lambda p: write_png(rgb8, p), force=args.force
         )
     return True
 
