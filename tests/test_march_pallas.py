@@ -99,6 +99,28 @@ def test_pallas_ragged_padding():
     _assert_match(ref, got, 105)
 
 
+def test_deferred_shading_bitwise_equals_inline():
+    """Block-deferred disk shading must be a pure scheduling change: every
+    output bitwise-identical to the inline-shading kernel."""
+    cfg = _cfg(res=(8, 5), diskOpacity=0.9, maxSteps=64)
+    params, static = cfg.params(), cfg.static()
+    pos0, vel0 = generate_rays(params.camera, static.render_width,
+                               static.render_height, dtype=jnp.float32)
+    kw = dict(
+        step_size=static.step_size, max_steps=static.max_steps,
+        mass=params.mass, safe_distance=safe_distance(params, jnp.float32),
+        disk_on=True, disk_inner=params.disk.inner,
+        disk_outer=params.disk.outer, disk_opacity=params.disk.opacity,
+        disk_rgb=hsi_to_rgb(params.disk.color_hsi.astype(jnp.float32)),
+        block_rows=2, interpret=True,
+    )
+    a = march_pallas(pos0, vel0, disk_defer=False, **kw)
+    b = march_pallas(pos0, vel0, disk_defer=True, **kw)
+    assert bool(jnp.all(a.acc_rgba == b.acc_rgba))
+    assert bool(jnp.all(a.vel == b.vel))
+    assert bool(jnp.all(a.status == b.status))
+
+
 def test_render_with_pallas_flag():
     """render(use_pallas=True, interpret fallback unavailable) — exercise the
     dispatch plumbing on CPU via interpret-mode kernel call."""
