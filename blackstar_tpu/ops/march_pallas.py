@@ -45,13 +45,13 @@ DEFAULT_BLOCK_ROWS = 32  # 32×128 = 4096 rays/tile ≈ 0.25 MB of VMEM state
 UNROLL = 16  # RK4 steps per while-loop iteration (amortises the `any` check)
 DISK_COND = False  # unconditional disk shading beats per-substep lax.cond
 DISK_DEFER = True  # block-level deferred shading: skip div/sqrt/sin per block
-# Tuning (v5e, scenes/default.yaml @1080p, bare march): rows 32 / unroll 16
-# with *deferred* disk shading reaches ~64 Mrays/s (inline shading: ~53,
-# XLA while_loop path: ~5; no-disk ceiling: ~79). A Z-order pixel
-# permutation LOSES ~35% to gather cost — per-ray step counts are
-# near-uniform on real scenes (p50=230, max=272), so contiguous row-band
-# tiles already capture ~91% of the ideal schedule (see
-# scripts/march_stats.py). Per-substep lax.cond costs more in
+# Tuning (v5e, scenes/default.yaml @1080p, bare march, device-side): rows
+# 32 / unroll 16 with *deferred* disk shading + the crossing convexity
+# filter reaches ~83 Mrays/s (inline shading: ~58, XLA while_loop path: ~5;
+# no-disk ceiling: ~107). A Z-order pixel permutation LOSES ~35% to gather
+# cost — per-ray step counts are near-uniform on real scenes (p50=230,
+# max=272), so contiguous row-band tiles already capture ~91% of the ideal
+# schedule (see scripts/march_stats.py). Per-substep lax.cond costs more in
 # vector->scalar syncs than it saves in skipped transcendentals; the
 # block-level deferred cond (one sync per `unroll` substeps) is the win.
 
@@ -245,7 +245,18 @@ def _march_kernel(
             if disk_on:
                 opacity_on = scal_ref[_S_OPACITY] != 0.0
                 sign_flip = jnp.sign(py) != jnp.sign(npy)
-                candidate = cont & sign_flip & opacity_on
+                # On a sign flip the crossing radius² is a *convex
+                # combination* of r² and r²' (λ = y'/(y'−y) ∈ [0,1]), so a
+                # step whose endpoints are both outside the disk annulus can
+                # never hit. Excluding those (most plane crossings happen
+                # far outside diskOuter) empties most deferred-shade blocks;
+                # outputs are bit-identical since the excluded lanes'
+                # shades were hit-masked no-ops.
+                in2 = scal_ref[_S_INNER2]
+                out2 = scal_ref[_S_OUTER2]
+                may_hit = ~(((r2 > out2) & (r2n > out2))
+                            | ((r2 < in2) & (r2n < in2)))
+                candidate = cont & sign_flip & opacity_on & may_hit
                 if disk_defer:
                     stash.append((candidate, r2, r2n, py, npy))
                 else:

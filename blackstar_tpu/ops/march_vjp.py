@@ -246,7 +246,13 @@ def step_primal(p: Dot3, v: Dot3, acc_a, status, c: StepConsts, valid,
     if disk_on:
         r2n = np_.dot(np_)
         flip = jnp.sign(p.y) != jnp.sign(np_.y)
-        cand = cont & (c.opacity != 0) & flip
+        # On a sign flip the crossing radius² is a convex combination of r²
+        # and r²', so steps whose endpoints are both outside the disk
+        # annulus can never hit — excluding them empties most deferred
+        # segments (outputs identical: their shades are hit-masked no-ops).
+        may_hit = ~(((r2 > c.out2) & (r2n > c.out2))
+                    | ((r2 < c.in2) & (r2n < c.in2)))
+        cand = cont & (c.opacity != 0) & flip & may_hit
         if defer_shade:
             stash = (cand, r2, r2n, p.y, np_.y)
         else:
