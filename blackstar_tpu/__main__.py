@@ -16,14 +16,16 @@ def main(argv=None) -> int:
         "render": "blackstar_tpu.cli.render",
         "animate": "blackstar_tpu.cli.animate",
         "generate-grid": "blackstar_tpu.cli.generate_grid",
+        "fit": "blackstar_tpu.cli.fit",
     }
     if not argv or argv[0] in ("-h", "--help") or argv[0] not in commands:
         prog = "python -m blackstar_tpu"
-        print(f"usage: {prog} {{render,animate,generate-grid}} ...")
+        print(f"usage: {prog} {{render,animate,generate-grid,fit}} ...")
         print()
         print("  render         render scene YAML(s) to PNG")
         print("  animate        expand a keyframe animation into frame YAMLs")
         print("  generate-grid  build the star grid from a PPM catalogue")
+        print("  fit            fit scene parameters to a target image")
         return 0 if argv and argv[0] in ("-h", "--help") else 2
 
     import importlib

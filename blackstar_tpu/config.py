@@ -280,6 +280,34 @@ def scene_params(cfg: Config, dtype: Any = None) -> SceneParams:
     )
 
 
+def config_with_params(cfg: Config, params: SceneParams) -> Config:
+    """Write a (possibly fitted) SceneParams pytree back into a Config —
+    the inverse of :func:`scene_params`. Static fields (resolution, flags,
+    step cap, dtype) are kept from ``cfg``."""
+    import dataclasses
+
+    f = float
+    t3 = lambda v: tuple(float(x) for x in v)
+    camera = Camera(
+        position=t3(params.camera.position),
+        look_at=t3(params.camera.look_at),
+        up=t3(params.camera.up),
+        fov=f(params.camera.fov),
+    )
+    scene = dataclasses.replace(
+        cfg.scene,
+        disk_inner=f(params.disk.inner),
+        disk_outer=f(params.disk.outer),
+        disk_opacity=f(params.disk.opacity),
+        disk_color=t3(params.disk.color_hsi),
+        star_intensity=f(params.stars.intensity),
+        star_saturation=f(params.stars.saturation),
+        bloom_strength=f(params.bloom_strength),
+        mass=f(params.mass),
+    )
+    return Config(scene=scene, camera=camera)
+
+
 # ---------------------------------------------------------------------------
 # Static (hashable) compile-time config
 # ---------------------------------------------------------------------------

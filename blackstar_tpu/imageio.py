@@ -24,6 +24,13 @@ def srgb_encode(linear: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x < 0.0031308, lo, hi)
 
 
+def srgb_decode(srgb: jnp.ndarray) -> jnp.ndarray:
+    """sRGB gamma -> linear; the exact inverse of :func:`srgb_encode`
+    (the encode switch at linear 0.0031308 maps to sRGB 0.04045)."""
+    x = jnp.asarray(srgb)
+    return jnp.where(x <= 0.04045, x / 12.92, jnp.power((x + 0.055) / 1.055, 2.4))
+
+
 def to_uint8(img: np.ndarray) -> np.ndarray:
     """Clamp to [0,1] and quantise with round-half-even (`toWord8`)."""
     arr = np.asarray(img, dtype=np.float64)

@@ -170,3 +170,43 @@ class TestDispatcher:
         out = tmp_path / "frames"
         assert dispatch_main(["animate", str(anim_path), "-o", str(out), "--force"]) == 0
         assert len(os.listdir(out)) == 2
+
+
+class TestFit:
+    def test_fit_recovers_toward_target(self, tmp_path):
+        """Render a truth scene, perturb diskOuter, fit it back via the CLI."""
+        import blackstar_tpu as bs
+
+        truth = tmp_path / "truth.yaml"
+        _write_scene(truth, diskOpacity=0.95, diskOuter=12.0, resolution=[16, 9])
+        cfg = bs.load_config(str(truth))
+        img = bs.render_image(cfg)
+        target = tmp_path / "target.png"
+        bs.write_png(img, str(target))
+
+        guess = tmp_path / "guess.yaml"
+        _write_scene(guess, diskOpacity=0.95, diskOuter=10.0, resolution=[16, 9])
+        out = tmp_path / "fitted.yaml"
+        from blackstar_tpu.cli.fit import main as fit_main
+
+        assert fit_main([str(guess), str(target), "-o", str(out), "--steps", "25",
+                         "--lr", "0.05", "--fit", "disk.outer", "--force"]) == 0
+        fitted = yaml.safe_load(out.read_text())
+        # diskOuter moved from 10 toward the truth 12; everything else intact.
+        assert 10.2 < fitted["scene"]["diskOuter"] < 13.0
+        assert fitted["scene"]["diskOpacity"] == pytest.approx(0.95)
+        assert fitted["camera"]["fov"] == pytest.approx(1.5)
+
+    def test_fit_rejects_size_mismatch(self, tmp_path, capsys):
+        import blackstar_tpu as bs
+
+        scn = tmp_path / "s.yaml"
+        _write_scene(scn, resolution=[8, 5])
+        cfg = bs.load_config(str(scn))
+        img = bs.render_image(cfg)
+        target = tmp_path / "t.png"
+        bs.write_png(img[:3, :4], str(target))  # wrong size
+        from blackstar_tpu.cli.fit import main as fit_main
+
+        assert fit_main([str(scn), str(target), "--steps", "1", "--force"]) == 1
+        assert "resolution" in capsys.readouterr().out
