@@ -168,10 +168,10 @@ def fit_scene(
     losses = []
     for i in range(steps):
         state, loss = step_fn(state, target)
-        # Keep losses on device unless a callback needs them now — a host
-        # sync per step would serialise the loop (costly on tunneled TPUs).
+        # Keep losses on device — a host sync per step would serialise the
+        # loop (costly on tunneled TPUs). Callbacks receive the *device*
+        # loss and pay the fetch only if/when they convert it.
         if callback is not None:
-            loss = float(loss)
             callback(i, state, loss)
         losses.append(loss)
     return state.params, [float(l) for l in losses]
