@@ -111,6 +111,11 @@ def interpolate(keyframes: Sequence[Keyframe], t: float) -> Camera:
 def generate_frames(anim: Animation) -> List[Config]:
     """Expand an animation to per-frame Configs (Animation.hs:45-59)."""
     frames = sorted(anim.keyframes, key=lambda k: k.time)
+    # Validate here, not only in the CLIs: for t before the first keyframe
+    # the reference's interpolate falls through to the *last* keyframe while
+    # the batched camera_at clamps to the first — keyframes that don't span
+    # [0, 1] would make the two documented-equivalent paths diverge.
+    validate_keyframes(frames)
     step = 1.0 / (anim.n_frames - 1) if anim.n_frames > 1 else 0.0
     return [
         Config(scene=anim.scene, camera=interpolate(frames, k * step))

@@ -43,9 +43,14 @@ def main(argv=None) -> int:
     print(f"Parsed {catalog.n_stars} stars.")
 
     with time_action("Building the star grid"):
-        grid = build_star_grid(catalog, cell_size=args.cell_size)
+        # float64 so the serialised values are full precision — loaders
+        # downcast to each scene's compute dtype (f32 on TPU, f64 golden).
+        import jax.numpy as jnp
 
-    prompt_overwrite_file(args.output, lambda p: save_star_grid(grid, p), force=args.force)
+        grid = build_star_grid(catalog, cell_size=args.cell_size, dtype=jnp.float64)
+
+    out = args.output if args.output.endswith(".npz") else args.output + ".npz"
+    prompt_overwrite_file(out, lambda p: save_star_grid(grid, p), force=args.force)
     print("Star grid saved.")
     return 0
 

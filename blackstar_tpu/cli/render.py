@@ -51,18 +51,39 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     return p
 
 
+class _StarGridCache:
+    """Per-dtype star-grid loader: the .npz stores full-precision (f64)
+    values, so each scene dtype gets a grid loaded at that precision
+    (a float64 golden run must not see f32-rounded star data)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._grids = {}
+
+    def get(self, dtype):
+        import jax.numpy as jnp
+
+        dt = jnp.dtype(dtype)
+        if dt not in self._grids:
+            from blackstar_tpu.stars.grid import load_star_grid
+
+            self._grids[dt] = load_star_grid(self.path, dtype=dt)
+        return self._grids[dt]
+
+
 def _load_stars(path: str):
     """Missing starmap is a warning, not an error — scenes render with a
     black sky (the reference exits instead, app/Main.hs:46-50; degrading
     gracefully is deliberate since the catalogue is an external download)."""
     if not os.path.exists(path):
-        print(f"Warning: starmap {path} not found; rendering without stars.")
-        return None
-    from blackstar_tpu.stars.grid import load_star_grid
-
-    grid = load_star_grid(path)
-    print("Starmap successfully read.")
-    return grid
+        if os.path.exists(path + ".npz"):
+            path = path + ".npz"
+        else:
+            print(f"Warning: starmap {path} not found; rendering without stars.")
+            return None
+    # Defer the actual load until the first scene's dtype is known.
+    print("Starmap found.")
+    return _StarGridCache(path)
 
 
 def handle_scene(args, star_grid, outdir: str, filename: str, writer=None) -> bool:
@@ -91,9 +112,7 @@ def handle_scene(args, star_grid, outdir: str, filename: str, writer=None) -> bo
         scene_name = "prev-" + scene_name
 
     params, static = cfg.params(), cfg.static()
-    grid = star_grid
-    if grid is not None and grid.pos.dtype != static.jdtype:
-        grid = grid.astype(static.jdtype)
+    grid = star_grid.get(static.jdtype) if star_grid is not None else None
 
     print(f"Rendering {scene_name}...")
     with time_action("Rendering"):

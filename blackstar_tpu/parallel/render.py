@@ -60,7 +60,8 @@ def render_sharded(
         d = jax.lax.axis_index(axis_name)
         # Round-robin deal: this shard owns flat pixels d, d+D, d+2D, ...
         pix = d + n_dev * jnp.arange(per, dtype=jnp.int32)
-        # Ragged tail: out-of-range lanes re-march pixel 0 (discarded below).
+        # Ragged tail: out-of-range lanes re-march the last pixel
+        # (clamped; their results are discarded below).
         pix_c = jnp.minimum(pix, n_rays - 1)
         pos0, vel0 = generate_rays_at(params.camera, pix_c, rw, rh, dtype=dt)
         res = run_march(

@@ -35,6 +35,7 @@ with hue/saturation from the spectral class (saturation scaled by
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -107,11 +108,6 @@ class StarGrid:
     @property
     def dtype(self):
         return self.cell_data.dtype
-
-    # Backwards-compatible alias used by callers to pick the compute dtype.
-    @property
-    def pos(self) -> jax.Array:
-        return self.cell_data[..., 0:3]
 
     def astype(self, dtype) -> "StarGrid":
         dt = jnp.dtype(dtype)
@@ -241,6 +237,7 @@ def build_star_grid(
     psf_width: float = PSF_WIDTH,
     radius: Optional[float] = None,
     dtype=jnp.float32,
+    device: bool = True,
 ) -> StarGrid:
     """Offline bucket build (the ``generate-tree`` analogue, StarMap.hs:90-91).
 
@@ -262,7 +259,7 @@ def build_star_grid(
     s = pos.shape[0]
     if s == 0:
         data = _pack_cells(catalog, np.zeros(0, np.int64), np.zeros(0, np.int64), n_cells, 1)
-        return _grid_from_arrays(data, n_rings, ncol, 0, psf_width, r, dtype)
+        return _grid_from_arrays(data, n_rings, ncol, 0, psf_width, r, dtype, device)
 
     z = np.clip(pos[:, 2], -1.0, 1.0)
     dec = np.arcsin(z)
@@ -319,12 +316,18 @@ def build_star_grid(
     counts = np.bincount(cells, minlength=n_cells)
     k = max(1, int(counts.max()))
     data = _pack_cells(catalog, cells, stars, n_cells, k)
-    return _grid_from_arrays(data, n_rings, ncol, s, psf_width, r, dtype)
+    return _grid_from_arrays(data, n_rings, ncol, s, psf_width, r, dtype, device)
 
 
-def _grid_from_arrays(data, n_rings, n_cols, n_stars, psf_width, radius, dtype):
+def _grid_from_arrays(data, n_rings, n_cols, n_stars, psf_width, radius, dtype,
+                      device=True):
+    # device=False keeps the table as a host numpy array (full float64 even
+    # without jax_enable_x64) — the offline build/serialise path needs no
+    # device transfer, and jnp.asarray would silently downcast f64 to f32.
+    cd = (jnp.asarray(data, jnp.dtype(dtype)) if device
+          else np.asarray(data, np.dtype(dtype)))
     return StarGrid(
-        cell_data=jnp.asarray(data, jnp.dtype(dtype)),
+        cell_data=cd,
         n_rings=int(n_rings),
         n_cols=int(n_cols),
         n_stars=int(n_stars),
@@ -333,8 +336,14 @@ def _grid_from_arrays(data, n_rings, n_cols, n_stars, psf_width, radius, dtype):
     )
 
 
-def save_star_grid(grid: StarGrid, path: str) -> None:
-    """Serialise to ``.npz`` (the ``stars.kdt`` analogue)."""
+def save_star_grid(grid: StarGrid, path: str) -> str:
+    """Serialise to ``.npz`` (the ``stars.kdt`` analogue); returns the path
+    actually written (np.savez appends the suffix but np.load would not, so
+    the name is normalised here). Build the grid with ``dtype=float64`` if
+    the file should serve float64 golden renders — the stored values are
+    whatever precision the grid was built at."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez_compressed(
         path,
         version=_FORMAT_VERSION,
@@ -345,9 +354,12 @@ def save_star_grid(grid: StarGrid, path: str) -> None:
         psf_width=grid.psf_width,
         radius=grid.radius,
     )
+    return path
 
 
 def load_star_grid(path: str, dtype=jnp.float32) -> StarGrid:
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     z = np.load(path)
     if int(z["version"]) != _FORMAT_VERSION:
         raise ValueError(

@@ -70,7 +70,7 @@ def render_animation(
     base_params = cfg.params()
     static = cfg.static()
     grid = star_grid
-    if grid is not None and grid.pos.dtype != static.jdtype:
+    if grid is not None and grid.dtype != static.jdtype:
         grid = grid.astype(static.jdtype)
 
     if sharded:

@@ -173,3 +173,20 @@ def test_grid_save_load_roundtrip(tmp_path):
     a = np.asarray(grid.lookup(jnp.asarray(dirs), jnp.float64(0.7), jnp.float64(0.7)))
     b = np.asarray(loaded.lookup(jnp.asarray(dirs), jnp.float64(0.7), jnp.float64(0.7)))
     np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_host_build_preserves_float64_and_suffix_normalised(tmp_path):
+    """The offline build path (device=False) must keep full f64 precision
+    without touching jax (no silent x64 downcast), and save/load must agree
+    on names without the .npz suffix."""
+    cat = _random_catalog(64, seed=9)
+    grid = build_star_grid(cat, dtype=np.float64, device=False)
+    assert isinstance(grid.cell_data, np.ndarray)
+    assert grid.cell_data.dtype == np.float64
+    base = str(tmp_path / "stars.grid")  # no suffix
+    written = save_star_grid(grid, base)
+    assert written.endswith(".npz")
+    loaded = load_star_grid(base, dtype=jnp.float64)  # suffix-free load works
+    np.testing.assert_array_equal(
+        np.asarray(loaded.cell_data), grid.cell_data
+    )
