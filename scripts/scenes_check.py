@@ -1,6 +1,10 @@
 """Hardware validation: render every reference scene on the TPU with both
 march paths (Pallas kernel vs XLA while_loop) at moderate resolution and
-report agreement + throughput. Run on a machine with a TPU attached."""
+report agreement. Run on a machine with a TPU attached.
+
+The per-scene ms figures are single-dispatch host-side timings — on a
+tunneled TPU they are dominated by the ~27 ms dispatch floor (see
+CLAUDE.md); agreement is the point here, bench.py is the timing tool."""
 
 import glob
 import os
