@@ -64,6 +64,12 @@ def main(argv=None) -> int:
         from blackstar_tpu.video import render_animation
 
         star_grid = _load_stars(args.starmap)
+        if star_grid is not None:
+            # Resolve the per-dtype cache to the actual grid for this
+            # animation's compute dtype.
+            import jax.numpy as jnp
+
+            star_grid = star_grid.get(jnp.dtype(anim.scene.dtype))
         paths = render_animation(
             anim,
             out_path,

@@ -15,6 +15,7 @@ renderer (the multi-chip replacement for massiv's multicore ``Par``).
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 
@@ -120,25 +121,13 @@ def handle_scene(args, star_grid, outdir: str, filename: str, writer=None) -> bo
 
     if cfg.scene.bloom_strength != 0.0:
         print("Applying bloom...")
-        from blackstar_tpu.ops.filters import bloom
-
         with time_action("Bloom"):
-            import jax
-
-            img = jax.block_until_ready(
-                jax.jit(bloom, static_argnums=(2,))(
-                    img, params.bloom_strength, static.bloom_divider
-                )
-            )
+            img = _sync(_jit_bloom(static)(img, params.bloom_strength))
 
     # sRGB + uint8 quantisation on device: a quarter of the bytes cross the
     # host boundary (the fetch dominates on tunneled TPUs). write_png and
     # the writer pool both take already-encoded uint8 frames directly.
-    import jax
-
-    from blackstar_tpu.imageio import encode_rgb8
-
-    rgb8 = np.asarray(jax.jit(encode_rgb8)(img))
+    rgb8 = np.asarray(_jit_encode()(img))
 
     print(f"Saving to {out_name}...")
     if writer is not None and args.force and not os.path.exists(out_name):
@@ -152,31 +141,64 @@ def handle_scene(args, star_grid, outdir: str, filename: str, writer=None) -> bo
     return True
 
 
-def _render(args, params, static, grid, with_stats=False):
+def _sync(x):
+    """Force execution before returning (timing truthfulness): on the
+    tunneled TPU ``block_until_ready`` does not actually block, so fetch one
+    scalar through the array instead (see CLAUDE.md)."""
     import jax
 
-    if args.sharded:
-        if with_stats:
-            print("Note: --stats is not supported with --sharded; ignoring.")
+    jax.device_get(x.ravel()[0])
+    return x
+
+
+# jit wrappers are cached per StaticConfig so batch mode over same-shape
+# scenes reuses one trace/compile instead of retracing per scene.
+@functools.lru_cache(maxsize=32)
+def _jit_render(static, sharded: bool, with_stats: bool):
+    import jax
+
+    if sharded:
         from blackstar_tpu.parallel.render import render_sharded
 
-        fn = jax.jit(
-            lambda p, g: render_sharded(p, static, g), static_argnames=()
-        )
-        return jax.block_until_ready(fn(params, grid))
-
+        return jax.jit(lambda p, g: render_sharded(p, static, g))
     from blackstar_tpu.render import render
 
+    return jax.jit(lambda p, g: render(p, static, g, with_stats=with_stats))
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_bloom(static):
+    import jax
+
+    from blackstar_tpu.ops.filters import bloom
+
+    return jax.jit(lambda img, strength: bloom(img, strength, static.bloom_divider))
+
+
+@functools.lru_cache(maxsize=1)
+def _jit_encode():
+    import jax
+
+    from blackstar_tpu.imageio import encode_rgb8
+
+    return jax.jit(encode_rgb8)
+
+
+def _render(args, params, static, grid, with_stats=False):
+    if args.sharded and with_stats:
+        print("Note: --stats is not supported with --sharded; ignoring.")
+        with_stats = False
+    fn = _jit_render(static, args.sharded, with_stats)
     if with_stats:
-        img, stats = jax.jit(lambda p, g: render(p, static, g, with_stats=True))(params, grid)
-        img = jax.block_until_ready(img)
+        img, stats = fn(params, grid)
+        img = _sync(img)
         print(
             f"steps={int(stats.steps)} escaped={float(stats.escaped_frac):.3f} "
             f"horizon={float(stats.horizon_frac):.3f} "
             f"truncated={float(stats.truncated_frac):.4f}"
         )
         return img
-    return jax.block_until_ready(jax.jit(lambda p, g: render(p, static, g))(params, grid))
+    return _sync(fn(params, grid))
 
 
 def main(argv=None) -> int:
@@ -184,8 +206,6 @@ def main(argv=None) -> int:
 
     star_grid = _load_stars(args.starmap)
 
-    if args.output:
-        os.makedirs(args.output, exist_ok=True)
     outdir = normalize_path(args.output) if args.output else os.getcwd()
     os.makedirs(outdir, exist_ok=True)
 
@@ -219,19 +239,26 @@ def main(argv=None) -> int:
                     return 2
                 files = files[i::n]
             writer = _make_writer(args)
+            oks = []
             try:
                 for idx, scn in enumerate(files, 1):
                     clear_screen()
                     print(f"Batch mode progress: {idx}/{len(files)}")
-                    handle_scene(args, star_grid, outdir, scn, writer=writer)
+                    oks.append(handle_scene(args, star_grid, outdir, scn, writer=writer))
             finally:
                 if writer is not None:
                     errors = writer.wait()
                     writer.close()
                     if errors:
                         print(f"Warning: {errors} frame(s) failed to write.")
+            # Reference batch semantics: failures are printed and skipped
+            # (app/Main.hs:72-78); exit non-zero only if nothing rendered.
+            if files and not any(oks):
+                print("Everything done. Thank you!")
+                return 1
         else:
-            handle_scene(args, star_grid, outdir, filename)
+            if not handle_scene(args, star_grid, outdir, filename):
+                return 1
     print("Everything done. Thank you!")
     return 0
 

@@ -375,7 +375,11 @@ def static_config(cfg: Config, preview: bool = False) -> StaticConfig:
         render_height=rh,
         supersampling=ss,
         step_size=float(cfg.scene.step_size),
-        max_steps=(cfg.scene.max_steps or default_max_steps(cfg)),
+        max_steps=(
+            cfg.scene.max_steps
+            if cfg.scene.max_steps is not None
+            else default_max_steps(cfg)
+        ),
         bloom_divider=int(cfg.scene.bloom_divider),
         disk_on=(cfg.scene.disk_opacity != 0.0),
         dtype=str(cfg.scene.dtype),

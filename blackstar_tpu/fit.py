@@ -46,7 +46,9 @@ def image_loss(
     ``pyramid > 0`` adds box-blurred comparison levels (radii 4, 8, 16, …):
     coarse scales supply long-range gradients when the rendered and target
     structures barely overlap (e.g. a badly misplaced disk), which plain
-    per-pixel MSE cannot.
+    per-pixel MSE cannot. ``target`` may be a tuple of precomputed pyramid
+    levels ``(target, blur4, blur8, …)`` — see :func:`target_pyramid` — so a
+    training loop doesn't re-blur the constant target every step.
     """
     if mesh is not None:
         from blackstar_tpu.parallel.render import render_sharded
@@ -54,6 +56,11 @@ def image_loss(
         img = render_sharded(params, static, star_grid, mesh=mesh, differentiable=True)
     else:
         img = render(params, static, star_grid, differentiable=True)
+    levels = None
+    if isinstance(target, (tuple, list)):
+        levels = list(target)
+        pyramid = len(levels) - 1
+        target = levels[0]
     target = target.astype(img.dtype)
     loss = jnp.mean((img - target) ** 2)
     if pyramid:
@@ -61,11 +68,22 @@ def image_loss(
 
         for k in range(pyramid):
             r = 4 << k
-            loss = loss + jnp.mean(
-                (box_blur(img, r, passes=1) - box_blur(target, r, passes=1)) ** 2
-            )
+            tb = (levels[k + 1].astype(img.dtype) if levels is not None
+                  else box_blur(target, r, passes=1))
+            loss = loss + jnp.mean((box_blur(img, r, passes=1) - tb) ** 2)
         loss = loss / (1 + pyramid)
     return loss
+
+
+def target_pyramid(target: jnp.ndarray, pyramid: int):
+    """Precompute the blurred comparison levels of a constant target once
+    (radii 4, 8, …) — pass the result to ``image_loss``/``train_step`` as
+    the target."""
+    from blackstar_tpu.ops.filters import box_blur
+
+    return (target,) + tuple(
+        box_blur(target, 4 << k, passes=1) for k in range(pyramid)
+    )
 
 
 def trainable_mask(params: SceneParams, predicate) -> SceneParams:
@@ -160,6 +178,8 @@ def fit_scene(
     """
     opt = optimizer or optax.adam(learning_rate)
     state = init_train_state(params, opt)
+    if pyramid and not isinstance(target, (tuple, list)):
+        target = target_pyramid(target, pyramid)
     step_fn = make_train_step(
         static, opt, star_grid, mesh=mesh, grad_mask=grad_mask, pyramid=pyramid
     )

@@ -210,3 +210,36 @@ class TestFit:
 
         assert fit_main([str(scn), str(target), "--steps", "1", "--force"]) == 1
         assert "resolution" in capsys.readouterr().out
+
+
+def test_animate_render_with_starmap(tmp_path):
+    """Regression: animate --render with an existing starmap must resolve
+    the per-dtype grid cache to a real StarGrid (it used to crash)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blackstar_tpu.stars.catalog import Catalog
+    from blackstar_tpu.stars.grid import build_star_grid, save_star_grid
+
+    rng = np.random.default_rng(3)
+    pos = rng.normal(size=(200, 3)); pos /= np.linalg.norm(pos, axis=-1, keepdims=True)
+    grid = build_star_grid(
+        Catalog(pos=pos, mag=rng.integers(600, 1200, 200).astype(np.int32),
+                hue=np.full(200, 0.094), sat=np.full(200, 0.29)),
+        dtype=np.float64, device=False,
+    )
+    starmap = save_star_grid(grid, str(tmp_path / "stars.grid"))
+
+    anim_path = tmp_path / "orbit.yaml"
+    _write_animation(anim_path, n_frames=2)
+    out = tmp_path / "frames"
+    assert animate_main([str(anim_path), "-o", str(out), "--force", "--render",
+                         "--starmap", starmap]) == 0
+    assert sorted(os.listdir(out)) == ["orbit_0.png", "orbit_1.png"]
+
+
+def test_render_single_scene_failure_exits_nonzero(tmp_path):
+    scn = tmp_path / "broken.yaml"
+    scn.write_text("scene: [not, a, mapping\n")
+    assert render_main([str(scn), "-o", str(tmp_path / "out"), "--force",
+                        "--starmap", str(tmp_path / "absent.npz")]) == 1
