@@ -113,6 +113,15 @@ def handle_scene(args, star_grid, outdir: str, filename: str, writer=None) -> bo
         scene_name = "prev-" + scene_name
 
     params, static = cfg.params(), cfg.static()
+    if static.jdtype == np.float64:
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            print(
+                "Note: this scene requests float64 but x64 is disabled — "
+                "arrays will silently be float32. For float64 golden "
+                "renders set JAX_ENABLE_X64=1 on a CPU backend."
+            )
     grid = star_grid.get(static.jdtype) if star_grid is not None else None
 
     print(f"Rendering {scene_name}...")
