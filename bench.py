@@ -25,6 +25,9 @@ def main() -> None:
 
     from blackstar_tpu.config import load_config
     from blackstar_tpu.render import render
+    from blackstar_tpu.util import enable_compilation_cache
+
+    enable_compilation_cache()
 
     here = os.path.dirname(os.path.abspath(__file__))
     cfg = load_config(os.path.join(here, "scenes", "default.yaml"))

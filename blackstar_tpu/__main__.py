@@ -30,6 +30,9 @@ def main(argv=None) -> int:
 
     import importlib
 
+    from blackstar_tpu.util import enable_compilation_cache
+
+    enable_compilation_cache()
     mod = importlib.import_module(commands[argv[0]])
     return mod.main(argv[1:])
 

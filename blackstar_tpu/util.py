@@ -43,3 +43,26 @@ def clear_screen() -> None:
     if sys.stdout.isatty():
         sys.stdout.write("\x1b[2J\x1b[H")
         sys.stdout.flush()
+
+
+def enable_compilation_cache() -> None:
+    """Point JAX at the repo-local persistent compilation cache.
+
+    The march kernels take tens of seconds to (re)compile per process; the
+    CLIs, bench.py, and the driver entries all call this so cold starts
+    reuse prior compiles (tests/conftest.py does the same for the suite).
+    Safe to call multiple times; a no-op if the user already configured one.
+    """
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without the knobs: cold compiles, not a failure
