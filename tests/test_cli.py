@@ -243,3 +243,30 @@ def test_render_single_scene_failure_exits_nonzero(tmp_path):
     scn.write_text("scene: [not, a, mapping\n")
     assert render_main([str(scn), "-o", str(tmp_path / "out"), "--force",
                         "--starmap", str(tmp_path / "absent.npz")]) == 1
+
+
+def test_star_grid_cache_serves_scene_dtype(tmp_path):
+    """A float64 scene must get float64 star data through the render CLI's
+    per-dtype cache (regression: the grid used to be loaded as f32 once)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blackstar_tpu.cli.render import _load_stars
+    from blackstar_tpu.stars.catalog import Catalog
+    from blackstar_tpu.stars.grid import build_star_grid, save_star_grid
+
+    rng = np.random.default_rng(11)
+    pos = rng.normal(size=(50, 3)); pos /= np.linalg.norm(pos, axis=-1, keepdims=True)
+    grid = build_star_grid(
+        Catalog(pos=pos, mag=np.full(50, 900, np.int32),
+                hue=np.full(50, 0.094), sat=np.full(50, 0.29)),
+        dtype=np.float64, device=False,
+    )
+    path = save_star_grid(grid, str(tmp_path / "s.grid"))
+    cache = _load_stars(path)
+    g64 = cache.get(jnp.float64)
+    g32 = cache.get(jnp.float32)
+    assert g64.dtype == jnp.float64 and g32.dtype == jnp.float32
+    # Full precision survived the round trip (not f32-rounded-then-upcast).
+    np.testing.assert_array_equal(np.asarray(g64.cell_data), grid.cell_data)
+    assert cache.get(jnp.float64) is g64  # cached

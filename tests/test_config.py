@@ -137,3 +137,15 @@ def test_extension_fields_round_trip(tmp_path):
 
     plain = Config.from_dict(MINIMAL).scene.to_dict()
     assert "mass" not in plain and "maxSteps" not in plain and "dtype" not in plain
+
+
+def test_max_steps_zero_is_honoured():
+    """maxSteps: 0 must not be replaced by the derived default (falsy-zero)."""
+    from blackstar_tpu.config import Config
+
+    cfg = Config.from_dict({
+        "camera": {"position": [0, 1, -20], "lookAt": [0, 0, 0],
+                   "upVec": [0, 1, 0], "fov": 1.5},
+        "scene": {"resolution": [4, 3], "maxSteps": 0},
+    })
+    assert cfg.static().max_steps == 0
