@@ -11,7 +11,6 @@ all-reduces only the small parameter-gradient pytree).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax

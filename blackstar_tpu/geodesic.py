@@ -30,7 +30,7 @@ the batch is done (``lax.while_loop``), or runs a static ``lax.scan`` with
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

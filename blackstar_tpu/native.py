@@ -12,8 +12,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Optional
-
 import numpy as np
 
 _LIB_NAME = "libblackstar_native.so"

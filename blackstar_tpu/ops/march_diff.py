@@ -10,8 +10,6 @@ the checkpointed-scan autodiff path while computing the same gradients
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

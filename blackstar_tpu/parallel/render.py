@@ -16,7 +16,6 @@ equivalent of massiv's per-pixel work stealing, chosen statically.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -16,8 +16,7 @@ batched bucketed gather over the escaped rays instead of a per-ray k-d query.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from blackstar_tpu.animation import Animation, camera_at, pad_zero, validate_keyframes
-from blackstar_tpu.config import Config, Scene
+from blackstar_tpu.config import Config
 
 
 def render_animation(
