@@ -19,12 +19,28 @@ import sys
 from blackstar_tpu.util import prompt_overwrite_file, time_action
 
 
+def _default_cell_size() -> float:
+    # Pin the CLI default to the library's measured-optimal default so users
+    # following the README get the same lookup performance as every number
+    # quoted in DESIGN.md/BASELINE.md.
+    import inspect
+
+    from blackstar_tpu.stars.grid import build_star_grid
+
+    return inspect.signature(build_star_grid).parameters["cell_size"].default
+
+
 def build_parser(parser=None) -> argparse.ArgumentParser:
     p = parser or argparse.ArgumentParser(prog="blackstar generate-grid")
     p.add_argument("catalog", help="PPM star catalogue file")
     p.add_argument("output", help="output star-grid path (.npz)")
     p.add_argument("-f", "--force", action="store_true", help="overwrite without asking")
-    p.add_argument("--cell-size", type=float, default=0.02, help="grid ring height (rad)")
+    p.add_argument(
+        "--cell-size",
+        type=float,
+        default=_default_cell_size(),
+        help="grid ring height (rad)",
+    )
     return p
 
 

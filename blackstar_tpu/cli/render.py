@@ -263,7 +263,7 @@ def main(argv=None) -> int:
             # Reference batch semantics: failures are printed and skipped
             # (app/Main.hs:72-78); exit non-zero only if nothing rendered.
             if files and not any(oks):
-                print("Everything done. Thank you!")
+                print(f"Error: all {len(files)} scene(s) failed to render.")
                 return 1
         else:
             if not handle_scene(args, star_grid, outdir, filename):

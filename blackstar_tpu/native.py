@@ -168,7 +168,13 @@ class AsyncFrameWriter:
         self._lib = lib
         self._handle = lib.bs_writer_create(n_threads)
 
+    def _check_open(self) -> None:
+        # A None handle would null-deref inside the C ABI — fail in Python.
+        if self._handle is None:
+            raise RuntimeError("writer closed")
+
     def submit(self, path: str, img: np.ndarray, *, level: int = 6) -> None:
+        self._check_open()
         if np.asarray(img).dtype == np.uint8:
             return self.submit_rgb8(path, img, level=level)
         arr = _as_f32_c(img)
@@ -184,6 +190,7 @@ class AsyncFrameWriter:
 
     def submit_rgb8(self, path: str, rgb8: np.ndarray, *, level: int = 6) -> None:
         """Submit a frame already quantised to sRGB uint8 (device-encoded)."""
+        self._check_open()
         arr = np.ascontiguousarray(rgb8, dtype=np.uint8)
         if arr.ndim != 3 or arr.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3) uint8 image, got {arr.shape}")
@@ -199,6 +206,7 @@ class AsyncFrameWriter:
 
     def wait(self) -> int:
         """Block until all frames are written; returns the error count."""
+        self._check_open()
         return self._lib.bs_writer_wait(self._handle)
 
     def close(self) -> None:

@@ -81,7 +81,6 @@ def run_march(
     *,
     differentiable: bool = False,
     use_pallas="auto",
-    image_shape=None,
 ):
     """Dispatch the geodesic march to the Pallas TPU kernels or the XLA path.
 
@@ -125,7 +124,6 @@ def run_march(
             disk_outer=params.disk.outer,
             disk_opacity=params.disk.opacity,
             disk_rgb=disk_rgb,
-            image_shape=image_shape,
         )
     if isinstance(vel0, (tuple, list)):
         vel0 = jnp.stack(vel0, axis=-1)
@@ -155,8 +153,8 @@ def render(
     else:
         pos0, vel0 = generate_rays(params.camera, rw, rh, dtype=dt)
 
-    # Note: no Z-order permutation (march_pallas image_shape) — measured as a
-    # net loss on v5e: the 2M-row gathers cost more than the extra tile
+    # Note: no Z-order permutation — measured as a net loss on v5e (removed;
+    # DESIGN.md §2): the 2M-row gathers cost more than the extra tile
     # coherence buys (per-ray step counts are near-uniform on real scenes).
     res = run_march(
         pos0,

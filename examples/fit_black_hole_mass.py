@@ -6,7 +6,7 @@ the scene parameters until the render matches — the capability that motivates
 the differentiable TPU redesign (the reference renderer is forward-only and
 hard-codes rs = 1).
 
-Run:  python examples/fit_black_hole_mass.py [--steps 150] [--preview]
+Run:  python examples/fit_black_hole_mass.py [--steps 150] [--lr 1e-2] [--out fit_progress.png]
 """
 
 import argparse

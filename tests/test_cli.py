@@ -92,6 +92,18 @@ class TestGenerateGrid:
     def test_missing_catalog(self, tmp_path):
         assert grid_main([str(tmp_path / "no.ppm"), str(tmp_path / "o.npz")]) == 1
 
+    def test_cli_default_cell_size_matches_library(self):
+        # Regression: the CLI once defaulted to 0.02 while the library's
+        # measured-optimal default was 0.008 (VERDICT r1 weak #5).
+        import inspect
+
+        from blackstar_tpu.cli.generate_grid import build_parser
+        from blackstar_tpu.stars.grid import build_star_grid
+
+        lib_default = inspect.signature(build_star_grid).parameters["cell_size"].default
+        cli_default = build_parser().get_default("cell_size")
+        assert cli_default == lib_default
+
 
 class TestRender:
     def test_single_scene(self, tmp_path):
