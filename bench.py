@@ -36,20 +36,14 @@ NORTH_STAR = 50.0  # Mrays/s/chip (BASELINE.json)
 
 
 def _load_star_grid(dtype):
-    """The committed full-scale grid; rebuild deterministically if absent."""
-    from blackstar_tpu.stars.grid import load_star_grid
+    """The full-scale grid, built deterministically from the committed
+    stars.ppm catalogue on first use (and cached as stars.grid.npz)."""
+    from blackstar_tpu.stars.artifact import default_star_grid
 
-    grid_path = os.path.join(HERE, "stars.grid.npz")
-    if not os.path.exists(grid_path):
-        ppm_path = os.path.join(HERE, "stars.ppm")
-        sys.path.insert(0, os.path.join(HERE, "scripts"))
-        import make_starfield
-
-        argv = ["--grid", grid_path]
-        if os.path.exists(ppm_path):
-            argv += ["--ppm", ppm_path]  # reuse; synth_catalog is slow-ish
-        make_starfield.main(argv)
-    return load_star_grid(grid_path, dtype=dtype)
+    grid = default_star_grid(dtype=dtype)
+    if grid is None:
+        raise RuntimeError("stars.ppm missing — cannot build the star grid")
+    return grid
 
 
 def measure() -> dict:

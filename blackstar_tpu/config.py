@@ -327,6 +327,9 @@ class StaticConfig:
     bloom_divider: int
     disk_on: bool  # diskOpacity != 0 at config time (Raytracer/findColor gate)
     dtype: str = "float32"
+    # Config-time fov, used ONLY to pick the star-lookup schedule (grouped
+    # vs per-ray) — never in the math, so gradients/fitted fov stay exact.
+    fov_hint: float = 0.0
 
     @property
     def n_rays(self) -> int:
@@ -383,6 +386,7 @@ def static_config(cfg: Config, preview: bool = False) -> StaticConfig:
         bloom_divider=int(cfg.scene.bloom_divider),
         disk_on=(cfg.scene.disk_opacity != 0.0),
         dtype=str(cfg.scene.dtype),
+        fov_hint=float(cfg.camera.fov),
     )
 
 

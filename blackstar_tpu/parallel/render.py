@@ -71,7 +71,8 @@ def render_sharded(
             differentiable=differentiable,
             use_pallas=use_pallas,
         )
-        return shade(res, params, star_grid, dt)  # (per, 3)
+        return shade(res, params, star_grid, dt,
+                     differentiable=differentiable)  # (per, 3)
 
     out = jax.shard_map(
         shard_fn,

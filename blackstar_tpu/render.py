@@ -42,7 +42,9 @@ def safe_distance(params: SceneParams, dtype) -> jnp.ndarray:
     return jnp.maximum(jnp.asarray(2500.0, dtype), 2.0 * jnp.dot(p, p))
 
 
-def shade(res, params: SceneParams, star_grid, dt) -> jnp.ndarray:
+def shade(res, params: SceneParams, star_grid, dt,
+          static: "StaticConfig | None" = None,
+          differentiable: bool = False) -> jnp.ndarray:
     """Composite the bottom layer under the accumulated disk RGBA.
 
     Bottom = celestial-sphere stars (alpha 1) for escaped rays, black for
@@ -51,11 +53,16 @@ def shade(res, params: SceneParams, star_grid, dt) -> jnp.ndarray:
     """
     escaped = res.status == ESCAPED
     if star_grid is not None:
-        star_rgb = star_grid.lookup(
+        lookup = star_grid.lookup
+        if static is not None and _grouped_eligible(star_grid, static,
+                                                    res.vel.shape[0]):
+            lookup = star_grid.lookup_grouped
+        star_rgb = lookup(
             res.vel,
             intensity=params.stars.intensity.astype(dt),
             saturation=params.stars.saturation.astype(dt),
             active=escaped,
+            differentiable=differentiable,
         )
         bottom = jnp.where(escaped[:, None], star_rgb, jnp.zeros((), dt))
     else:
@@ -63,6 +70,23 @@ def shade(res, params: SceneParams, star_grid, dt) -> jnp.ndarray:
 
     acc = res.acc_rgba
     return acc[:, :3] + bottom * (1.0 - acc[:, 3:4])
+
+
+def _grouped_eligible(star_grid, static: StaticConfig, n_rays: int) -> bool:
+    """Use the grouped star lookup when the grid carries a group margin and
+    the frame's expected 8-pixel group spread fits inside it (a *schedule*
+    choice only — per-ray validity keeps results exact even if the fitted
+    fov drifts past the hint)."""
+    margin = getattr(star_grid, "margin", 0.0)
+    if margin <= 0.0 or static.fov_hint <= 0.0 or n_rays < (1 << 15):
+        return False
+    from blackstar_tpu.stars.grid import GROUP
+
+    # Validity is tested against the group's MIDDLE ray, so the worst
+    # in-group offset is GROUP//2 pixels (pixel pitch ≈ fov/width at the
+    # frame centre, smaller toward the edges).
+    spread = (GROUP // 2) * static.fov_hint / max(1, static.render_width)
+    return spread * 1.3 <= margin
 
 
 def pallas_eligible(static: StaticConfig, differentiable: bool = False) -> bool:
@@ -165,7 +189,8 @@ def render(
         use_pallas=use_pallas,
     )
 
-    rgb = shade(res, params, star_grid, dt)
+    rgb = shade(res, params, star_grid, dt, static,
+                differentiable=differentiable)
     img = rgb.reshape(rh, rw, 3)
 
     if static.supersampling:

@@ -74,12 +74,40 @@ DYNAMIC = 50.0  # magnitude change that doubles intensity
 PSF_WIDTH = 0.0005  # Gaussian width parameter w
 QUERY_RADIUS = 3.0 * PSF_WIDTH  # inRadius search radius (StarMap.hs:104)
 
-_FORMAT_VERSION = 5
+_FORMAT_VERSION = 6
 _ROW = 8  # floats per candidate slot: x y z mag H_r H_g H_b aux
 _SENTINEL_POS = 9.0
 _SENTINEL_MAG = 1e9
 DEFAULT_K0 = 8  # base slots/cell: 256 B rows (the gather sweet spot)
 DEFAULT_CELL_SIZE = 0.008
+# Rays per group in lookup_grouped. 4 is the measured sweet spot on the
+# default scene: at 8 the strong-lensing belt (where adjacent escape
+# directions diverge beyond the build margin) covers ~20% of rays and blows
+# every per-chunk fallback capacity; at 4 the validity offset halves and
+# the belt shrinks to a few percent.
+GROUP = 4
+
+
+def _guard(ok, fast_val, slow_fn, differentiable: bool):
+    """``fast_val`` if ``ok`` else ``slow_fn()``, with the slow branch
+    guaranteed NOT to execute when ``ok``.
+
+    ``lax.cond`` can be lowered to predicated both-branch execution on TPU
+    (measured: the rarely-taken exact-fallback branches were costing more
+    than the whole fast path); a 0-or-1-trip ``while_loop`` cannot be
+    predicated. ``while_loop`` is not reverse-mode differentiable, so the
+    differentiable path keeps the (slower but transposable) ``cond``.
+    """
+    if differentiable:
+        return jax.lax.cond(ok, lambda _: fast_val, lambda _: slow_fn(), None)
+
+    def cond_fn(carry):
+        return ~carry[0]
+
+    def body_fn(carry):
+        return jnp.asarray(True), slow_fn()
+
+    return jax.lax.while_loop(cond_fn, body_fn, (ok, fast_val))[1]
 
 
 def rgb_basis(hue: np.ndarray, sat: np.ndarray) -> np.ndarray:
@@ -120,8 +148,12 @@ class StarGrid:
     fixed layout spends near the poles.
     """
 
-    cell_data: jax.Array  # (C, K0, 8) base candidate slots, sentinel-padded
-    ovf_data: jax.Array  # (R, K1, 8) overflow slots; row 0 = dummy
+    # Tables are stored 2-D — (C, K0·8) and (R, K1·8) — NOT (C, K0, 8):
+    # gathering through a (C, K, 8).reshape(C, -1) inside jit measured 13×
+    # slower on TPU (the minor-dim-8 layout forces a relayout of the whole
+    # table); the true 2-D layout gathers at ~9 ns/row.
+    cell_data: jax.Array  # (C, K0·8) base candidate slots, sentinel-padded
+    ovf_data: jax.Array  # (R, K1·8) overflow slots; row 0 = dummy
     # Static metadata.
     n_rings: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
@@ -131,11 +163,18 @@ class StarGrid:
 
     @property
     def pad_k(self) -> int:
-        return self.cell_data.shape[1]
+        return self.cell_data.shape[1] // _ROW
 
     @property
     def has_overflow(self) -> bool:
         return self.ovf_data.shape[0] > 1
+
+    @property
+    def margin(self) -> float:
+        """Build halo beyond the query radius: how far a ray direction may
+        sit from its gathered cell while its whole query disk is still
+        covered. > 0 enables :meth:`lookup_grouped`."""
+        return max(0.0, self.radius - 3.0 * self.psf_width)
 
     @property
     def dtype(self):
@@ -153,13 +192,17 @@ class StarGrid:
         return self.cell_data.nbytes + self.ovf_data.nbytes
 
     def cell_ids(self, nvel: jnp.ndarray) -> jnp.ndarray:
-        """Bucket id for unit directions (N, 3): declination ring, then
-        azimuthal column — pure arithmetic on the equirect layout."""
-        dt = nvel.dtype
+        """Bucket id for unit directions (N, 3)."""
+        return self._cell_ids_comp(nvel[..., 0], nvel[..., 1], nvel[..., 2])
+
+    def _cell_ids_comp(self, nx, ny, nz) -> jnp.ndarray:
+        """Bucket id from unit-direction component planes: declination ring,
+        then azimuthal column — pure arithmetic on the equirect layout."""
+        dt = nx.dtype
         two_pi = 2.0 * jnp.pi
         delta = jnp.asarray(jnp.pi / self.n_rings, dt)
-        dec = jnp.arcsin(jnp.clip(nvel[..., 2], -1.0, 1.0))
-        ra = jnp.arctan2(nvel[..., 1], nvel[..., 0]) % two_pi
+        dec = jnp.arcsin(jnp.clip(nz, -1.0, 1.0))
+        ra = jnp.arctan2(ny, nx) % two_pi
         ring = jnp.clip(
             jnp.floor((dec + jnp.pi / 2) / delta).astype(jnp.int32),
             0,
@@ -172,35 +215,201 @@ class StarGrid:
         )
         return ring * self.n_cols + col
 
-    def _candidate_rgb(self, data, nvel, intensity, saturation):
-        """Unclamped RGB sum over one gathered slot block.
+    # ---- columnized candidate math -------------------------------------
+    #
+    # The natural (rays, slots, 8) formulation is a TPU layout disaster:
+    # minor dims of 8/3 waste ~16× of both memory bandwidth and vector
+    # lanes (measured: 23 ms/frame @1080p for K0=8 — more than the gather
+    # itself). These helpers keep every intermediate a flat (M,) or (g, M)
+    # array (lane dim = rays) by slicing *columns* out of the gathered 2-D
+    # rows, unrolling the slot loop.
 
-        ``data``: (N, S, 8) candidate slots; ``nvel``: (N, 3) unit dirs.
-        Exact ``starLookup`` per-star math (StarMap.hs:93-114); sentinels
-        fail the radius test (pos 9.0 → d² ≈ 190), so no validity flag is
-        needed.
-        """
-        dt = nvel.dtype
-        spos = data[..., 0:3]
-        smag = data[..., 3]
-        sbasis = data[..., 4:7]  # H = s_star·G(h_star), see module docstring
-
-        diff = spos - nvel[:, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)  # squared chordal distance (qd)
-
+    def _slot_math(self, rows2d, s0, s_count, planes, intensity, saturation,
+                   accs):
+        """Accumulate candidate RGB for slots [s0, s0+s_count) of gathered
+        rows. ``rows2d``: (M, W) with W >= (s0+s_count)·8. ``planes``: a
+        list of (rx, ry, rz) unit-direction planes, each (M,) — a group of
+        g rays sharing each gathered row is passed as g separate planes so
+        EVERY intermediate is a flat (M,) array (full vector lanes; the
+        natural (M, g) broadcast form wastes 16× of the VPU on minor-dim-g
+        padding — measured 22 ms/frame at 1080p vs ~2 for this form).
+        ``accs``: matching list of (ar, ag, ab) accumulators. Exact
+        ``starLookup`` per-star math (StarMap.hs:93-114); the
+        difference-first d² keeps full precision at d ~ w in float32
+        (2−2·s·v would cancel catastrophically)."""
+        dt = rows2d.dtype
         w = jnp.asarray(self.psf_width, dt)
-        within = d2 <= (3.0 * w) ** 2
+        r2lim = (3.0 * w) ** 2
         a = jnp.log(jnp.asarray(2.0, dt)) / DYNAMIC
-        log_b = a * (MAX_BRIGHTNESS - smag) - d2 / (2.0 * w * w)
-        val = jnp.minimum(1.0, jnp.exp(jnp.where(within, log_b, -jnp.inf)))
-        val = val * intensity
+        inv2w2 = 1.0 / (2.0 * w * w)
+        # 2-D (M, g) ray arrays broadcast each row's columns over the
+        # trailing in-group axis. ONLY viable inside the octet scan — the
+        # fully unrolled broadcast form splits into per-channel fusions
+        # that re-read the rows (measured 5× slower).
+        if planes[0][0].ndim == 2:
+            cv = lambda v: v[:, None]
+        else:
+            cv = lambda v: v
+        out = list(accs)
+        for k in range(s0, s0 + s_count):
+            sx = cv(rows2d[:, k * _ROW + 0])
+            sy = cv(rows2d[:, k * _ROW + 1])
+            sz = cv(rows2d[:, k * _ROW + 2])
+            logb0 = cv(a * (MAX_BRIGHTNESS - rows2d[:, k * _ROW + 3]))
+            cr = cv(1.0 + saturation * rows2d[:, k * _ROW + 4])
+            cg = cv(1.0 + saturation * rows2d[:, k * _ROW + 5])
+            cb = cv(1.0 + saturation * rows2d[:, k * _ROW + 6])
+            for j, (rx, ry, rz) in enumerate(planes):
+                dx = sx - rx
+                dy = sy - ry
+                dz = sz - rz
+                d2 = dx * dx + dy * dy + dz * dz
+                within = d2 <= r2lim
+                # Outside the 3w cutoff the contribution is exactly 0 (the
+                # reference's inRadius pre-filter) — sentinels (pos 9.0
+                # and/or mag 1e9) die here too.
+                val = jnp.minimum(
+                    1.0, jnp.exp(jnp.where(within, logb0 - d2 * inv2w2, -jnp.inf))
+                )
+                val = val * intensity
+                ar, ag, ab = out[j]
+                out[j] = (ar + val * cr, ag + val * cg, ab + val * cb)
+        return out
 
-        # rgb = val·(1 + saturation·H): the HSI→RGB of the reference, with
-        # the hue transcendentals folded into the build-time basis H.
-        rgb = val[..., None] * (1.0 + saturation * sbasis)
-        return jnp.sum(
-            jnp.where(within[..., None], rgb, jnp.zeros((), dt)), axis=1
+    def _octet_math(self, rows2d, planes, intensity, saturation, accs):
+        """Like :meth:`_slot_math` over ALL slots of ``rows2d``, but in
+        8-slot chunks via a ``fori_loop`` + aligned ``dynamic_slice`` so
+        (a) wide rows don't unroll into huge programs and (b) XLA emits ONE
+        pass over the gathered rows per iteration — the fully-unrolled form
+        was split into ~7 fusions each re-reading the whole row buffer at
+        10 GiB/s (profiled), and a scan over a pre-transposed copy paid a
+        full layout copy of the buffer instead. Slot count must be a
+        multiple of 8 (the overflow table is padded so)."""
+        m, width = rows2d.shape
+        n_oct = width // (8 * _ROW)
+        if n_oct * 8 * _ROW != width:
+            raise ValueError(f"row width {width} not a multiple of 64")
+        if n_oct <= 2:
+            return self._slot_math(
+                rows2d, 0, width // _ROW, planes, intensity, saturation, accs
+            )
+
+        def body(k, carry):
+            blk = jax.lax.dynamic_slice_in_dim(rows2d, k * 8 * _ROW, 8 * _ROW, 1)
+            return self._slot_math(blk, 0, 8, planes, intensity, saturation,
+                                   carry)
+
+        return jax.lax.fori_loop(0, n_oct, body, [tuple(a) for a in accs])
+
+    def _batched_blocks(self, dt, bf, pos, block, body_fn, per_unit,
+                        batch_blocks):
+        """Pay-as-you-go block compaction: process only the flagged blocks,
+        in ``batch_blocks``-sized while_loop batches, and merge results back
+        with a block-row gather. Cost scales with the ACTUAL flagged count
+        (a fixed capacity would bill every chunk for the worst one), and
+        results are exact for every input — no capacity to blow, no guard.
+
+        ``bf``: (nb,) block flags; ``pos``: cumsum(bf)−1; ``block``: units
+        per block; ``body_fn(flat_unit_ids) -> 3 × (len·per_unit,)``
+        channel values (unit-major). Returns 3 × (nb·block·per_unit,) adds,
+        zero outside flagged blocks. Not reverse-mode differentiable (the
+        while_loop) — callers keep a capacity-based variant for AD.
+        """
+        nb = bf.shape[0]
+        b = min(batch_blocks, nb)
+        nb_pad = -(-nb // b) * b
+        bsel = jnp.nonzero(bf, size=nb_pad, fill_value=nb - 1)[0]
+        n_used = jnp.sum(bf)
+        width = block * per_unit
+        bufs = tuple(jnp.zeros((nb_pad * width,), dt) for _ in range(3))
+
+        def cond_fn(c):
+            return c[0] * b < n_used
+
+        def body(c):
+            i, bufs = c
+            blks = jax.lax.dynamic_slice_in_dim(bsel, i * b, b)
+            uids = (blks[:, None] * block + jnp.arange(block)).reshape(-1)
+            vals = body_fn(uids)
+            bufs = tuple(
+                jax.lax.dynamic_update_slice(bf_, v, (i * b * width,))
+                for bf_, v in zip(bufs, vals)
+            )
+            return (i + 1, bufs)
+
+        _, bufs = jax.lax.while_loop(cond_fn, body, (jnp.int32(0), bufs))
+
+        def merge(buf):
+            rows = buf.reshape(nb_pad, width)[jnp.minimum(pos, nb_pad - 1)]
+            return jnp.where(bf[:, None], rows, 0.0).reshape(-1)
+
+        return tuple(merge(buf) for buf in bufs)
+
+    def _base_math(self, rows2d, planes, intensity, saturation, accs):
+        """Candidate math over the base table's K0 slots: unrolled when
+        narrow, octet-scanned when wide (fusion-splitting avoidance)."""
+        if self.pad_k % 8 == 0 and self.pad_k > 16:
+            return self._octet_math(rows2d, planes, intensity, saturation, accs)
+        return self._slot_math(
+            rows2d, 0, self.pad_k, planes, intensity, saturation, accs
         )
+
+    def _per_ray_rgb(self, nx, ny, nz, intensity, saturation,
+                     ovf_block: int = 8, ovf_frac: float = 0.5,
+                     differentiable: bool = False):
+        """Unclamped per-ray RGB accumulators (ar, ag, ab) for unit
+        direction planes — own-cell base row plus its overflow row. Used on
+        (already compacted) subsets; the overflow gather is block-compacted
+        once more (most fallback rays are in the lensing belt, not the
+        galactic band), with an exact full-width guarded fallback."""
+        dt = nx.dtype
+        m = nx.shape[0]
+        cell = self._cell_ids_comp(nx, ny, nz)
+        row = self.cell_data[cell].astype(dt)
+        z = jnp.zeros((m,), dt)
+        [acc] = self._base_math(
+            row, [(nx, ny, nz)], intensity, saturation, [(z, z, z)]
+        )
+        if not self.has_overflow:
+            return acc
+        optr = row[:, 7].astype(jnp.int32)
+        if not ovf_block or m % ovf_block or m < 8 * ovf_block:
+            # Full-width overflow row per ray (row 0 = all-sentinel dummy).
+            orow = self.ovf_data[optr].astype(dt)
+            [acc] = self._octet_math(
+                orow, [(nx, ny, nz)], intensity, saturation, [acc]
+            )
+            return acc
+        has = optr > 0
+        nb = m // ovf_block
+        bf = has.reshape(nb, ovf_block).any(axis=1)
+        mb = max(1, int(nb * ovf_frac))
+        sel = jnp.nonzero(bf, size=mb, fill_value=nb)[0]
+        pos = jnp.minimum(jnp.cumsum(bf) - 1, mb - 1)
+        ridx = (
+            jnp.minimum(sel, nb - 1)[:, None] * ovf_block + jnp.arange(ovf_block)
+        ).reshape(-1)
+        orow = self.ovf_data[optr[ridx]].astype(dt)
+        zm = jnp.zeros((ridx.shape[0],), dt)
+        [sub] = self._octet_math(
+            orow, [(nx[ridx], ny[ridx], nz[ridx])], intensity, saturation,
+            [(zm, zm, zm)],
+        )
+
+        def merge(acc_p, sub_p):
+            blk = sub_p.reshape(mb, ovf_block)[pos]
+            return acc_p + jnp.where(bf[:, None], blk, 0.0).reshape(m)
+
+        fast_val = tuple(merge(a_, s_) for a_, s_ in zip(acc, sub))
+
+        def slow():
+            orow_all = self.ovf_data[optr].astype(dt)
+            [r] = self._octet_math(
+                orow_all, [(nx, ny, nz)], intensity, saturation, [acc]
+            )
+            return tuple(r)
+
+        return _guard(jnp.sum(bf) <= mb, fast_val, slow, differentiable)
 
     def lookup(
         self,
@@ -210,6 +419,7 @@ class StarGrid:
         active: Optional[jnp.ndarray] = None,
         chunk: int = 1 << 17,
         ovf_capacity: float = 0.25,
+        differentiable: bool = False,
     ) -> jnp.ndarray:
         """Celestial-sphere colour for ray directions ``vel`` (N, 3).
 
@@ -237,13 +447,14 @@ class StarGrid:
             out = jax.lax.map(
                 lambda args: self._lookup_block(
                     args[0], intensity, saturation, args[1],
-                    ovf_capacity=ovf_capacity,
+                    ovf_capacity=ovf_capacity, differentiable=differentiable,
                 ),
                 (velp, act),
             )
             return out.reshape(n_pad, 3)[:n]
         return self._lookup_block(
-            vel, intensity, saturation, active, ovf_capacity=ovf_capacity
+            vel, intensity, saturation, active, ovf_capacity=ovf_capacity,
+            differentiable=differentiable,
         )
 
     def _lookup_block(
@@ -253,6 +464,8 @@ class StarGrid:
         saturation: jnp.ndarray,
         active: Optional[jnp.ndarray] = None,
         ovf_capacity: float = 0.25,
+        ray_block: int = 32,
+        differentiable: bool = False,
     ) -> jnp.ndarray:
         dt = vel.dtype
         n = vel.shape[0]
@@ -262,67 +475,390 @@ class StarGrid:
         if active is not None:
             # Dead lanes get a harmless probe direction.
             vel = jnp.where(active[:, None], vel, jnp.ones((), dt))
-        nvel = vel / jnp.linalg.norm(vel, axis=-1, keepdims=True)
-        cell = self.cell_ids(nvel)
+        vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
+        inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+        nx, ny, nz = vx * inv, vy * inv, vz * inv
+        cell = self._cell_ids_comp(nx, ny, nz)
 
-        # ONE contiguous-row gather per ray: (N, K0, 8). Gather from the 2-D
-        # (C, K0·8) view — XLA lowers a 3-D row gather far slower on TPU
-        # than the identical-bytes 2-D one.
-        flat = self.cell_data.reshape(self.cell_data.shape[0], -1)
-        data = flat[cell].reshape(n, self.pad_k, _ROW).astype(dt)
+        # ONE contiguous-row gather per ray from the 2-D (C, K0·8) table.
+        data = self.cell_data[cell].astype(dt)  # (n, K0·8)
         intensity = intensity.astype(dt)
         saturation = saturation.astype(dt)
-        acc = self._candidate_rgb(data, nvel, intensity, saturation)
+        z = jnp.zeros((n,), dt)
+        [(ar, ag, ab)] = self._base_math(
+            data, [(nx, ny, nz)], intensity, saturation, [(z, z, z)]
+        )
 
         if self.has_overflow:
-            k1 = self.ovf_data.shape[1]
-            oflat = self.ovf_data.reshape(self.ovf_data.shape[0], -1)
-            rowid = data[:, 0, 7].astype(jnp.int32)  # 0 = no overflow
+            rowid = data[:, 7].astype(jnp.int32)  # slot-0 aux; 0 = none
             has = rowid > 0
             if active is not None:
                 has = has & active
-            m = int(n * ovf_capacity)
-            if m >= n or m < 512:
-                # Small blocks: compaction saves nothing — gather a second
-                # row for every ray (row 0 is the all-sentinel dummy).
-                od = oflat[rowid].reshape(n, k1, _ROW).astype(dt)
-                acc = acc + self._candidate_rgb(od, nvel, intensity, saturation)
+            if n % ray_block or n < 8 * ray_block:
+                # Tiny/ragged block: just gather a second row for every ray
+                # (row 0 is the all-sentinel dummy).
+                orow = self.ovf_data[rowid].astype(dt)
+                [(ar, ag, ab)] = self._octet_math(
+                    orow, [(nx, ny, nz)], intensity, saturation,
+                    [(ar, ag, ab)],
+                )
             else:
-                def fast(_):
-                    # Only the (few) rays in overflow cells pay the second
-                    # gather: compact them into m static slots.
-                    idx = jnp.nonzero(has, size=m, fill_value=n)[0]
-                    idxc = jnp.minimum(idx, n - 1)
-                    od = oflat[rowid[idxc]].reshape(m, k1, _ROW).astype(dt)
-                    sub = self._candidate_rgb(
-                        od, nvel[idxc], intensity, saturation
+                # Block-granular compaction: per-element jnp.nonzero /
+                # scatter on 2M rays are sort-based and cost ~20 ms EACH on
+                # TPU (measured), so flags are reduced to ray_block-sized
+                # blocks, the few flagged blocks are compacted with a tiny
+                # nonzero, and results come back via a block-row *gather*
+                # (no scatter anywhere).
+                nb = n // ray_block
+                bf = has.reshape(nb, ray_block).any(axis=1)
+                mb = max(1, int(nb * ovf_capacity))
+                sel = jnp.nonzero(bf, size=mb, fill_value=nb)[0]
+                pos = jnp.minimum(jnp.cumsum(bf) - 1, mb - 1)
+                ridx = (
+                    jnp.minimum(sel, nb - 1)[:, None] * ray_block
+                    + jnp.arange(ray_block)
+                ).reshape(-1)
+                orow = self.ovf_data[rowid[ridx]].astype(dt)
+                zm = jnp.zeros((ridx.shape[0],), dt)
+                [sub] = self._octet_math(
+                    orow, [(nx[ridx], ny[ridx], nz[ridx])],
+                    intensity, saturation, [(zm, zm, zm)],
+                )
+
+                def merge(acc_p, sub_p):
+                    blk = sub_p.reshape(mb, ray_block)[pos]  # (nb, rb)
+                    blk = jnp.where(bf[:, None], blk, 0.0)
+                    return acc_p + blk.reshape(n)
+
+                fast_val = tuple(
+                    merge(a_, s_) for a_, s_ in zip((ar, ag, ab), sub)
+                )
+
+                def slow():
+                    # Capacity exceeded (dense galactic-band framing):
+                    # exact full-width second gather for every ray.
+                    orow_all = self.ovf_data[rowid].astype(dt)
+                    [r] = self._octet_math(
+                        orow_all, [(nx, ny, nz)], intensity, saturation,
+                        [(ar, ag, ab)],
                     )
-                    # fill_value=n lands out of range and is dropped.
-                    return jnp.zeros((n, 3), dt).at[idx].add(sub, mode="drop")
+                    return tuple(r)
 
-                def slow(_):
-                    # Exact fallback: more than m rays overflowed (dense
-                    # galactic-band framing) — gather for all of them.
-                    od = oflat[rowid].reshape(n, k1, _ROW).astype(dt)
-                    return self._candidate_rgb(od, nvel, intensity, saturation)
+                ar, ag, ab = _guard(
+                    jnp.sum(bf) <= mb, fast_val, slow, differentiable
+                )
 
-                acc = acc + jax.lax.cond(jnp.sum(has) <= m, fast, slow, None)
-
-        out = jnp.minimum(acc, 1.0)  # per-channel clamp (StarMap.hs:115)
+        out = jnp.minimum(jnp.stack([ar, ag, ab], axis=-1), 1.0)
         if active is not None:
             out = jnp.where(active[:, None], out, jnp.zeros((), dt))
         return out
 
+    # ---- grouped lookup (the production full-frame path) ----------------
+
+    def lookup_grouped(
+        self,
+        vel: jnp.ndarray,
+        intensity: jnp.ndarray,
+        saturation: jnp.ndarray,
+        active: Optional[jnp.ndarray] = None,
+        chunk: int = 1 << 17,
+        group: int = GROUP,
+        ray_block: int = 8,
+        group_block: int = 4,
+        invalid_frac: float = 0.25,
+        ovf_frac: float = 0.5,
+        differentiable: bool = False,
+        debug_stages=None,
+    ) -> jnp.ndarray:
+        """Celestial-sphere colour with ONE table gather per ``group``
+        consecutive rays instead of per ray.
+
+        Requires a grid built with ``radius > 3·psf_width`` (a *group
+        margin*): the halo guarantees that any ray within
+        ``margin`` (chordal) of the gathered cell's representative
+        direction has its whole query disk covered by that cell's candidate
+        list. Rays that fail this test (lensing-divergent groups, wide-fov
+        frames) are recomputed exactly through the per-ray path, compacted
+        at ``ray_block`` granularity; if a compaction capacity is exceeded,
+        a ``lax.cond`` falls back to the exact ungrouped lookup for the
+        whole chunk — results are exact for EVERY input, grouping only
+        changes the schedule.
+        """
+        if self.margin <= 0.0:
+            return self.lookup(vel, intensity, saturation, active,
+                               chunk=chunk, differentiable=differentiable)
+        n = vel.shape[0]
+        dt = vel.dtype
+        if self.n_stars == 0:
+            return jnp.zeros((n, 3), dt)
+        align = max(group * group_block, ray_block)
+        n_pad = -(-n // align) * align
+        if n_pad > chunk:
+            n_pad = -(-n // chunk) * chunk
+        vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
+        act = active
+        if n_pad != n:
+            pad = n_pad - n
+            one = jnp.ones((pad,), dt)
+            vx = jnp.concatenate([vx, one])
+            vy = jnp.concatenate([vy, one])
+            vz = jnp.concatenate([vz, one])
+            act = (
+                jnp.concatenate([active, jnp.zeros((pad,), bool)])
+                if active is not None
+                else jnp.ones((n_pad,), bool).at[n:].set(False)
+            )
+        kw = dict(
+            group=group, ray_block=ray_block, group_block=group_block,
+            invalid_frac=invalid_frac, ovf_frac=ovf_frac,
+            differentiable=differentiable, debug_stages=debug_stages,
+        )
+        if n_pad > chunk:
+            shaped = tuple(v.reshape(-1, chunk) for v in (vx, vy, vz))
+            acts = (
+                act.reshape(-1, chunk)
+                if act is not None
+                else jnp.ones((n_pad // chunk, chunk), bool)
+            )
+            out = jax.lax.map(
+                lambda a: self._grouped_block(
+                    a[0], a[1], a[2], intensity, saturation, a[3], **kw
+                ),
+                (*shaped, acts),
+            )
+            return out.reshape(n_pad, 3)[:n]
+        return self._grouped_block(
+            vx, vy, vz, intensity, saturation, act, **kw
+        )[:n]
+
+    def _grouped_block(
+        self, vx, vy, vz, intensity, saturation, active, *,
+        group, ray_block, group_block, invalid_frac, ovf_frac,
+        differentiable=False, debug_stages=None,
+    ) -> jnp.ndarray:
+        # debug_stages: None = everything (production); else a set drawn
+        # from {"validity", "ovf", "invalid", "guard"} for perf isolation
+        # (results are NOT exact when stages are dropped).
+        on = (lambda s: True) if debug_stages is None else debug_stages.__contains__
+        dt = vx.dtype
+        n = vx.shape[0]
+        g = group
+        n_groups = n // g
+        intensity = intensity.astype(dt)
+        saturation = saturation.astype(dt)
+        if active is not None:
+            one = jnp.ones((), dt)
+            vx = jnp.where(active, vx, one)
+            vy = jnp.where(active, vy, one)
+            vz = jnp.where(active, vz, one)
+        inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+        nx0, ny0, nz0 = vx * inv, vy * inv, vz * inv
+
+        # (G, g)-shaped ray views — free row-major reshapes of the flat ray
+        # order. Math broadcasts each gathered row's columns over the
+        # trailing in-group axis inside the octet scan; the representative
+        # direction is the (normalised) group MEAN — a minor-axis reduce,
+        # ~10× cheaper than a strided every-g-th slice on TPU (any
+        # deinterleaving of flat arrays measured ~2 GB/s).
+        nx4 = nx0.reshape(n_groups, g)
+        ny4 = ny0.reshape(n_groups, g)
+        nz4 = nz0.reshape(n_groups, g)
+        repx = nx4.mean(axis=-1)
+        repy = ny4.mean(axis=-1)
+        repz = nz4.mean(axis=-1)
+        rinv = jax.lax.rsqrt(repx * repx + repy * repy + repz * repz)
+        # A degenerate (near-zero) mean yields NaN/garbage cell ids; the
+        # validity test then fails those rays into the exact per-ray
+        # fallback, so correctness is unaffected.
+        repcell = self._cell_ids_comp(repx * rinv, repy * rinv, repz * rinv)
+
+        base = self.cell_data[repcell].astype(dt)  # (G, K0·8) — THE gather
+
+        # Validity metadata: the build halo guarantees every star within
+        # `margin` (chordal) of the CELL BOX is in the cell's candidate
+        # list, so a ray is covered iff dist(ray, box) ≤ margin. Testing
+        # against the box's inscribed ball (center c0, radius r_in) admits
+        # every ray with |ray − c0| ≤ margin + r_in — ~2× more than testing
+        # against the representative point alone.
+        delta = jnp.asarray(jnp.pi / self.n_rings, dt)
+        ring = (repcell // self.n_cols).astype(dt)
+        col = (repcell % self.n_cols).astype(dt)
+        dec_c = -jnp.pi / 2 + (ring + 0.5) * delta
+        ra_c = (col + 0.5) * (2.0 * jnp.pi / self.n_cols)
+        cos_dec = jnp.cos(dec_c)
+        cx = cos_dec * jnp.cos(ra_c)
+        cy = cos_dec * jnp.sin(ra_c)
+        cz = jnp.sin(dec_c)
+        # Inscribed radius: half the smaller box extent (ring height δ, or
+        # the column arc shrunk by cos at the ring's far edge), with slack
+        # for the chordal-vs-angular approximations.
+        cos_edge = jnp.minimum(
+            jnp.abs(jnp.cos(dec_c - 0.5 * delta)),
+            jnp.abs(jnp.cos(dec_c + 0.5 * delta)),
+        )
+        col_w = (2.0 * jnp.pi / self.n_cols) * cos_edge
+        r_in = 0.45 * jnp.minimum(delta, col_w)
+        usable = jnp.asarray(self.margin * 0.99, dt) + r_in  # (G,)
+
+        zg = jnp.zeros((n_groups, g), dt)
+        [(ar4, ag4, ab4)] = self._base_math(
+            base, [(nx4, ny4, nz4)], intensity, saturation, [(zg, zg, zg)]
+        )
+
+        dxr = nx4 - cx[:, None]
+        dyr = ny4 - cy[:, None]
+        dzr = nz4 - cz[:, None]
+        valid = (
+            dxr * dxr + dyr * dyr + dzr * dzr
+            <= (usable * usable)[:, None]
+        )  # (G, g)
+
+        # Overflow of the rep cell, block-compacted over GROUPS.
+        ovf_ok = jnp.asarray(True)
+        if self.has_overflow and on("ovf"):
+            optr = base[:, 7].astype(jnp.int32)  # (G,)
+            hasg = optr > 0
+            nbg = n_groups // group_block
+            obf = hasg.reshape(nbg, group_block).any(axis=1)
+            opos = jnp.cumsum(obf) - 1
+
+            def ovf_body(gsel):
+                # gsel: flat group ids — their overflow RGB per ray. Ray
+                # extraction is a ROW gather of the (G, g) views (element
+                # gathers on flat arrays run at ~2 GB/s on TPU).
+                orow = self.ovf_data[optr[gsel]].astype(dt)
+                rays = (nx4[gsel], ny4[gsel], nz4[gsel])  # (Mg, g) each
+                zo = jnp.zeros((gsel.shape[0], g), dt)
+                [o] = self._octet_math(
+                    orow, [rays], intensity, saturation, [(zo, zo, zo)]
+                )
+                return tuple(c.reshape(-1) for c in o)
+
+            if not differentiable:
+                # Pay-as-you-go: a while_loop processes only the flagged
+                # blocks in fixed-size batches — cost scales with the
+                # actual overflow coverage, results are exact for every
+                # input (no capacity to blow).
+                add = self._batched_blocks(
+                    dt, obf, opos, group_block, ovf_body, per_unit=g,
+                    batch_blocks=512,
+                )
+            else:
+                mbg = max(1, int(nbg * ovf_frac))
+                osel = jnp.nonzero(obf, size=mbg, fill_value=nbg)[0]
+                gsel = (
+                    jnp.minimum(osel, nbg - 1)[:, None] * group_block
+                    + jnp.arange(group_block)
+                ).reshape(-1)
+                vals = ovf_body(gsel)  # ((mbg·gb·g,),)×3 ray-ordered
+                pos_c = jnp.minimum(opos, mbg - 1)
+                row_w = group_block * g
+
+                def merge(vc):
+                    sel_rows = vc.reshape(mbg, row_w)[pos_c]  # (nbg, gb·g)
+                    return jnp.where(obf[:, None], sel_rows, 0.0).reshape(-1)
+
+                add = tuple(merge(v) for v in vals)
+                ovf_ok = jnp.sum(obf) <= mbg
+
+            # add is per-RAY ordered (n,).
+            ar4 = ar4 + add[0].reshape(n_groups, g)
+            ag4 = ag4 + add[1].reshape(n_groups, g)
+            ab4 = ab4 + add[2].reshape(n_groups, g)
+
+        inv_ray = ~valid  # (G, g)
+        if active is not None:
+            inv_ray = inv_ray & active.reshape(n_groups, g)
+
+        arT = ar4.reshape(n)
+        agT = ag4.reshape(n)
+        abT = ab4.reshape(n)
+        inv_flat = inv_ray.reshape(n)
+
+        inv_ok = jnp.asarray(True)
+        if on("invalid"):
+            # Invalid rays (the strong-lensing belt, where in-group escape
+            # directions diverge beyond the margin): exact per-ray
+            # recompute, compacted at (ray_block//g)-group granularity.
+            gpb = max(1, ray_block // g)  # groups per block
+            nbr = n_groups // gpb
+            ibf = inv_ray.reshape(nbr, gpb, g).any(axis=(1, 2))
+            ipos = jnp.cumsum(ibf) - 1
+
+            def inv_body(gsel):
+                # Batch-sized: row-gather the (G, g) ray views, flatten
+                # (small), recompute per ray against its OWN cell with
+                # full-width overflow (no nested compaction in the body).
+                fx = nx4[gsel].reshape(-1)
+                fy = ny4[gsel].reshape(-1)
+                fz = nz4[gsel].reshape(-1)
+                facc = self._per_ray_rgb(
+                    fx, fy, fz, intensity, saturation,
+                    ovf_block=0 if not differentiable else 8,
+                    differentiable=differentiable,
+                )
+                return tuple(facc)
+
+            if not differentiable:
+                fadd = self._batched_blocks(
+                    dt, ibf, ipos, gpb, inv_body, per_unit=g,
+                    batch_blocks=256,
+                )
+                arT = jnp.where(inv_flat, fadd[0], arT)
+                agT = jnp.where(inv_flat, fadd[1], agT)
+                abT = jnp.where(inv_flat, fadd[2], abT)
+            else:
+                mbr = max(1, int(nbr * invalid_frac))
+                isel = jnp.nonzero(ibf, size=mbr, fill_value=nbr)[0]
+                ipos_c = jnp.minimum(ipos, mbr - 1)
+                gsel = (
+                    jnp.minimum(isel, nbr - 1)[:, None] * gpb
+                    + jnp.arange(gpb)
+                ).reshape(-1)  # (mbr·gpb,) group ids
+                facc = inv_body(gsel)
+                inv_ok = jnp.sum(ibf) <= mbr
+                row_w = gpb * g
+
+                def imerge(grouped_p, fp):
+                    blk = fp.reshape(mbr, row_w)[ipos_c]  # (nbr, gpb·g)
+                    merged = jnp.where(ibf[:, None], blk, 0.0).reshape(n)
+                    return jnp.where(inv_flat, merged, grouped_p)
+
+                arT = imerge(arT, facc[0])
+                agT = imerge(agT, facc[1])
+                abT = imerge(abT, facc[2])
+
+        out_fast = jnp.minimum(jnp.stack([arT, agT, abT], axis=-1), 1.0)
+        if active is not None:
+            out_fast = jnp.where(active[:, None], out_fast, jnp.zeros((), dt))
+
+        if not differentiable or not on("guard"):
+            # The batched paths are exact by construction — no guard needed.
+            return out_fast
+
+        # Differentiable path: a blown compaction capacity falls back to
+        # the ungrouped exact path for the whole block.
+        def slow():
+            vel3 = jnp.stack([vx, vy, vz], axis=-1)
+            return self._lookup_block(
+                vel3, intensity, saturation, active,
+                differentiable=differentiable,
+            )
+
+        return _guard(ovf_ok & inv_ok, out_fast, slow, differentiable)
+
 
 @dataclass
 class CompactStarGrid:
-    """Host-side CSR form of the grid: per-cell candidate counts plus the
-    concatenated 8-float candidate slots (float64). This is what gets
+    """Host-side CSR form of the grid: per-cell candidate counts plus
+    star ids into a deduplicated (S, 8) slot-row table (a star inserted
+    into many halo cells stores its 8 floats once). This is what gets
     serialised (~30× smaller than the padded device tables) and what
     ``to_grid`` densifies into a :class:`StarGrid` at any ``k0``."""
 
     counts: np.ndarray  # (C,) int32 candidates per cell
-    slots: np.ndarray  # (P, 8) float64 candidate slots, CSR order
+    star_ids: np.ndarray  # (P,) int32/int64 into star_rows, CSR order
+    star_rows: np.ndarray  # (S, 8) float64 per-star slot rows
     n_rings: int
     n_cols: int
     n_stars: int
@@ -333,6 +869,11 @@ class CompactStarGrid:
     @property
     def n_cells(self) -> int:
         return self.counts.shape[0]
+
+    @property
+    def slots(self) -> np.ndarray:
+        """(P, 8) candidate slots in CSR order (materialised)."""
+        return self.star_rows[self.star_ids]
 
     def to_grid(self, dtype=jnp.float32, device: bool = True,
                 k0: Optional[int] = None) -> StarGrid:
@@ -353,12 +894,16 @@ class CompactStarGrid:
         p = int(counts.sum())
         cells = np.repeat(np.arange(c, dtype=np.int64), counts)
         slot = np.arange(p, dtype=np.int64) - starts[cells]
+        slots = self.slots
 
         bm = slot < k0e
-        base[cells[bm], slot[bm], :] = self.slots[bm]
+        base[cells[bm], slot[bm], :] = slots[bm]
         base[cells[bm], slot[bm], 7] = 0.0  # aux field is not star data
 
+        # Overflow rows are padded to whole octets (8 slots) so the scanned
+        # lookup math needs no ragged tail.
         k1 = max(0, k_max - k0e)
+        k1 = -(-k1 // 8) * 8 if k1 else 0
         if k1 == 0:
             ovf = np.zeros((1, 1, _ROW), np.float64)
             ovf[..., 0:3] = _SENTINEL_POS
@@ -377,11 +922,13 @@ class CompactStarGrid:
             row_of_cell = np.zeros(c, np.int64)
             row_of_cell[ovf_cells] = 1 + np.arange(n_ovf)
             om = ~bm
-            ovf[row_of_cell[cells[om]], slot[om] - k0e, :] = self.slots[om]
+            ovf[row_of_cell[cells[om]], slot[om] - k0e, :] = slots[om]
             # Overflow pointer lives in the base row's aux field: row+0 is
             # the dummy, so 0 means "none". Exact in f32 up to 2^24.
             base[:, 0, 7] = row_of_cell
 
+        base = base.reshape(base.shape[0], -1)
+        ovf = ovf.reshape(ovf.shape[0], -1)
         if device:
             dt = jnp.dtype(dtype)
             cd, od = jnp.asarray(base, dt), jnp.asarray(ovf, dt)
@@ -483,25 +1030,30 @@ def build_star_grid_compact(
     """
     r = QUERY_RADIUS if radius is None else float(radius)
     r = float(max(r, 3.0 * psf_width))
-    if cell_size <= 2 * r:
-        raise ValueError(f"cell_size {cell_size} must exceed 2×query radius {r}")
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be positive, got {cell_size}")
+    # Note: radius MAY exceed cell_size — the insertion-pair builder handles
+    # arbitrary halos (multi-ring, wrapped columns). A radius beyond
+    # 3·psf_width is the *group margin* used by ``StarGrid.lookup_grouped``.
 
     cells, stars, n_rings, ncol = _insertion_pairs(catalog, cell_size, r)
     n_cells = n_rings * ncol
     counts = np.bincount(cells, minlength=n_cells).astype(np.int32)
 
-    slots = np.zeros((len(cells), _ROW), np.float64)
-    if len(cells):
-        slots[:, 0:3] = np.asarray(catalog.pos, np.float64)[stars]
-        slots[:, 3] = np.asarray(catalog.mag, np.float64)[stars]
-        slots[:, 4:7] = rgb_basis(catalog.hue, catalog.sat)[stars]
+    s = int(catalog.pos.shape[0])
+    star_rows = np.zeros((s, _ROW), np.float64)
+    if s:
+        star_rows[:, 0:3] = np.asarray(catalog.pos, np.float64)
+        star_rows[:, 3] = np.asarray(catalog.mag, np.float64)
+        star_rows[:, 4:7] = rgb_basis(catalog.hue, catalog.sat)
 
     return CompactStarGrid(
         counts=counts,
-        slots=slots,
+        star_ids=stars.astype(np.int32 if s < (1 << 31) else np.int64),
+        star_rows=star_rows,
         n_rings=n_rings,
         n_cols=ncol,
-        n_stars=int(catalog.pos.shape[0]),
+        n_stars=s,
         psf_width=float(psf_width),
         radius=r,
         k0=int(k0),
@@ -544,7 +1096,8 @@ def save_star_grid(grid, path: str) -> str:
         path,
         version=_FORMAT_VERSION,
         counts=grid.counts.astype(np.int32),
-        slots=np.asarray(grid.slots, np.float64),
+        star_ids=grid.star_ids,
+        star_rows=np.asarray(grid.star_rows, np.float64),
         n_rings=grid.n_rings,
         n_cols=grid.n_cols,
         n_stars=grid.n_stars,
@@ -559,7 +1112,9 @@ def _dense_to_compact(grid: StarGrid) -> CompactStarGrid:
     """Recover the CSR form from dense tables (sentinels are unambiguous:
     a real candidate always has mag ≪ 1e9)."""
     base = np.asarray(grid.cell_data, np.float64)
+    base = base.reshape(base.shape[0], -1, _ROW)
     ovf = np.asarray(grid.ovf_data, np.float64)
+    ovf = ovf.reshape(ovf.shape[0], -1, _ROW)
     c, k0 = base.shape[0], base.shape[1]
     ptr = base[:, 0, 7].astype(np.int64)
     base = base.copy()
@@ -589,9 +1144,19 @@ def _dense_to_compact(grid: StarGrid) -> CompactStarGrid:
     cell_of = np.concatenate(cell_of)
     slot_of = np.concatenate(slot_of)
     order = np.lexsort((slot_of, cell_of))
+    rows = rows[order]
+    # Deduplicate identical slot rows back into a star table (bitwise —
+    # halo copies of a star are exact duplicates). Small grids only; the
+    # offline builder produces the deduplicated form natively.
+    view = np.ascontiguousarray(rows).view(
+        np.dtype((np.void, rows.dtype.itemsize * rows.shape[1]))
+    ).reshape(-1)
+    uniq, ids = np.unique(view, return_inverse=True)
+    star_rows = uniq.view(rows.dtype).reshape(-1, rows.shape[1])
     return CompactStarGrid(
         counts=counts.astype(np.int32),
-        slots=rows[order],
+        star_ids=ids.astype(np.int32),
+        star_rows=star_rows,
         n_rings=grid.n_rings,
         n_cols=grid.n_cols,
         n_stars=grid.n_stars,
@@ -612,7 +1177,8 @@ def load_star_grid_compact(path: str) -> CompactStarGrid:
         )
     return CompactStarGrid(
         counts=z["counts"],
-        slots=z["slots"],
+        star_ids=z["star_ids"],
+        star_rows=z["star_rows"],
         n_rings=int(z["n_rings"]),
         n_cols=int(z["n_cols"]),
         n_stars=int(z["n_stars"]),

@@ -135,15 +135,20 @@ def main(argv=None) -> int:
     if args.skip_grid:
         return 0
 
-    from blackstar_tpu.cli.generate_grid import main as grid_main
+    # Build with the production grouped-lookup parameters (stars/artifact.py).
+    from blackstar_tpu.stars import artifact
+    from blackstar_tpu.stars.catalog import read_catalog
+    from blackstar_tpu.stars.grid import build_star_grid_compact, save_star_grid
 
-    cli = [args.ppm, args.grid, "--force"]
-    if args.cell_size is not None:
-        cli += ["--cell-size", str(args.cell_size)]
-    rc = grid_main(cli)
-    if rc == 0:
-        print(f"Grid: {os.path.getsize(args.grid) / 1e6:.1f} MB")
-    return rc
+    compact = build_star_grid_compact(
+        read_catalog(args.ppm),
+        cell_size=args.cell_size or artifact.CELL_SIZE,
+        radius=artifact.RADIUS,
+        k0=artifact.K0,
+    )
+    out = save_star_grid(compact, args.grid)
+    print(f"Grid: {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
+    return 0
 
 
 if __name__ == "__main__":

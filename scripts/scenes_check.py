@@ -26,20 +26,25 @@ def main():
     from blackstar_tpu.stars.catalog import Catalog
     from blackstar_tpu.stars.grid import build_star_grid
 
-    # Synthetic sky so the no-disk (pure lensing) scenes exercise the full
-    # path instead of rendering black.
-    rng = np.random.default_rng(9)
-    spos = rng.normal(size=(100000, 3))
-    spos /= np.linalg.norm(spos, axis=-1, keepdims=True)
-    grid = build_star_grid(
-        Catalog(
-            pos=spos,
-            mag=rng.integers(500, 1300, len(spos)).astype(np.int32),
-            hue=np.full(len(spos), 0.094),
-            sat=np.full(len(spos), 0.29),
-        ),
-        dtype=jnp.float32,
-    )
+    # A populated sky so the no-disk (pure lensing) scenes exercise the full
+    # path instead of rendering black: the committed full-scale grid when
+    # present, else a quick synthetic one.
+    from blackstar_tpu.stars.artifact import default_star_grid
+
+    grid = default_star_grid(dtype=jnp.float32)
+    if grid is None:
+        rng = np.random.default_rng(9)
+        spos = rng.normal(size=(100000, 3))
+        spos /= np.linalg.norm(spos, axis=-1, keepdims=True)
+        grid = build_star_grid(
+            Catalog(
+                pos=spos,
+                mag=rng.integers(500, 1300, len(spos)).astype(np.int32),
+                hue=np.full(len(spos), 0.094),
+                sat=np.full(len(spos), 0.29),
+            ),
+            dtype=jnp.float32,
+        )
 
     scenes = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "scenes", "*.yaml")))
     for path in scenes:

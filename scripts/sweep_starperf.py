@@ -80,9 +80,11 @@ def main():
                          frames_per_call=k_frames)
     print(f"no stars: {base_t * 1e3:7.2f} ms/frame")
 
-    compacts = {}
-    for cell in (0.004, 0.0056, 0.008):
-        compacts[cell] = build_star_grid_compact(cat, cell_size=cell)
+    import itertools
+
+    cells = [float(c) for c in (sys.argv[1:] or ["0.004"])]
+    compacts = {cell: build_star_grid_compact(cat, cell_size=cell)
+                for cell in cells}
 
     for cell, comp in compacts.items():
         for k0 in (4, 8, 16):

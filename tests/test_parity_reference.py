@@ -21,11 +21,11 @@ import pytest
 
 _REF_PNG = "/root/reference/example.png"
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_GRID = os.path.join(_HERE, "stars.grid.npz")
+_PPM = os.path.join(_HERE, "stars.ppm")
 
 pytestmark = [
     pytest.mark.skipif(not os.path.exists(_REF_PNG), reason="no reference checkout"),
-    pytest.mark.skipif(not os.path.exists(_GRID), reason="no committed star grid"),
+    pytest.mark.skipif(not os.path.exists(_PPM), reason="no star catalogue"),
 ]
 
 
@@ -54,7 +54,7 @@ def images():
 
     from blackstar_tpu.config import load_config
     from blackstar_tpu.render import render_image
-    from blackstar_tpu.stars.grid import load_star_grid
+    from blackstar_tpu.stars.artifact import default_star_grid
 
     w, h = 640, 360
     ref = (
@@ -69,7 +69,7 @@ def images():
     cfg = dataclasses.replace(
         cfg, scene=dataclasses.replace(cfg.scene, resolution=(w, h))
     )
-    grid = load_star_grid(_GRID, dtype=np.float32)
+    grid = default_star_grid(dtype=np.float32)
     ours = _srgb(render_image(cfg, star_grid=grid)).mean(axis=-1)
     return ref, ours
 

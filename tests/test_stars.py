@@ -234,6 +234,97 @@ class TestOverflow:
         np.testing.assert_allclose(a, b, atol=1e-12)
 
 
+class TestGroupedLookup:
+    """lookup_grouped: one gather per 8-ray group; per-ray validity against
+    the build margin; block-compacted exact fallbacks. Must equal the
+    per-ray lookup (and hence the brute-force oracle) on EVERY input."""
+
+    def _grid(self, cat, **kw):
+        kw.setdefault("radius", 0.006)  # margin = 4.5 mrad
+        kw.setdefault("cell_size", 0.008)
+        return build_star_grid(cat, dtype=jnp.float64, **kw)
+
+    def _dirs_coherent(self, cat, n, seed, spread=3e-4):
+        """Groups of 8 nearly-parallel directions (like neighbouring
+        pixels), centred near catalogue stars so hits occur."""
+        rng = np.random.default_rng(seed)
+        centers = cat.pos[rng.integers(0, cat.n_stars, n // 8)]
+        dirs = np.repeat(centers, 8, axis=0) + spread * rng.normal(size=(n, 3))
+        return dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    def _check(self, grid, dirs, active=None, **kw):
+        args = (jnp.asarray(dirs), jnp.float64(0.7), jnp.float64(0.9))
+        act = None if active is None else jnp.asarray(active)
+        got = np.asarray(grid.lookup_grouped(*args, act, **kw))
+        want = np.asarray(grid.lookup(*args, act))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_matches_per_ray_coherent(self):
+        cat = _random_catalog(600, seed=21)
+        grid = self._grid(cat)
+        self._check(grid, self._dirs_coherent(cat, 1024, seed=22))
+
+    def test_divergent_groups_fall_back_exactly(self):
+        """Random (totally incoherent) directions: nearly every ray fails
+        the margin test -> the whole answer comes from the per-ray fallback
+        (and the capacity cond when it overflows)."""
+        cat = _random_catalog(500, seed=23)
+        grid = self._grid(cat)
+        rng = np.random.default_rng(24)
+        dirs = rng.normal(size=(2048, 3))
+        dirs[::3] = cat.pos[rng.integers(0, cat.n_stars, len(dirs[::3]))]
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        # generous capacity: exercised fallback; tiny capacity: slow cond
+        self._check(grid, dirs, invalid_frac=1.0)
+        self._check(grid, dirs, invalid_frac=0.01)
+
+    def test_overflow_cells_grouped(self):
+        """A dense clump (overflow rows) viewed by coherent groups."""
+        rng = np.random.default_rng(25)
+        base = np.array([0.3, -0.5, 0.81])
+        pos = base + 2e-4 * rng.normal(size=(60, 3))
+        pos /= np.linalg.norm(pos, axis=-1, keepdims=True)
+        cat = Catalog(
+            pos=pos,
+            mag=rng.integers(900, 1400, 60).astype(np.int32),
+            hue=np.full(60, 0.094),
+            sat=np.full(60, 0.29),
+        )
+        grid = self._grid(cat, k0=8)
+        assert grid.has_overflow
+        dirs = self._dirs_coherent(cat, 512, seed=26)
+        self._check(grid, dirs, ovf_frac=1.0)
+        self._check(grid, dirs, ovf_frac=0.01)  # capacity -> slow path
+
+    def test_active_mask_and_ragged(self):
+        cat = _random_catalog(300, seed=27)
+        grid = self._grid(cat)
+        dirs = self._dirs_coherent(cat, 1000, seed=28)[:997]  # ragged
+        rng = np.random.default_rng(29)
+        active = rng.uniform(size=997) < 0.8
+        self._check(grid, dirs, active=active)
+
+    def test_no_margin_grid_delegates(self):
+        cat = _random_catalog(200, seed=30)
+        grid = build_star_grid(cat, dtype=jnp.float64)  # margin 0
+        assert grid.margin == 0.0
+        dirs = self._dirs_coherent(cat, 256, seed=31)
+        self._check(grid, dirs)
+
+    def test_float32(self):
+        cat = _random_catalog(400, seed=32)
+        grid = build_star_grid(cat, dtype=jnp.float32, radius=0.006,
+                               cell_size=0.008)
+        dirs = jnp.asarray(self._dirs_coherent(cat, 512, seed=33), jnp.float32)
+        got = np.asarray(
+            grid.lookup_grouped(dirs, jnp.float32(0.7), jnp.float32(0.9))
+        )
+        want = np.asarray(
+            grid.lookup(dirs, jnp.float32(0.7), jnp.float32(0.9))
+        )
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_empty_catalog():
     cat = Catalog(
         pos=np.zeros((0, 3)), mag=np.zeros(0, np.int32), hue=np.zeros(0), sat=np.zeros(0)
