@@ -15,17 +15,17 @@ floor, so total gathered *bytes* are everything and a global max-occupancy
 pad is ruinous once a realistic catalogue's galactic-plane density sets the
 max):
 
-* ``cell_data`` (C, K0, 8): the first K0 candidate slots of every cell —
-  small fixed rows (K0=8 → 256 B) sized for the *typical* cell, gathered
-  once per ray;
-* ``ovf_data`` (R, K1, 8): the excess slots of the few dense cells
+* ``cell_data`` (C, K0·8): the first K0 candidate slots of every cell —
+  small fixed rows sized for the *typical* cell, gathered once per ray (or
+  once per 4-ray group in :meth:`StarGrid.lookup_grouped`);
+* ``ovf_data`` (R, K1·8): the excess slots of the few dense cells
   (galactic band, clusters); row 0 is an all-sentinel dummy. A cell's
-  overflow row index is packed into ``cell_data[c, 0, 7]`` (an otherwise
-  unused field), so discovering it costs no extra gather. Rays in overflow
-  cells are *compacted* (``jnp.nonzero`` with a static capacity) and only
-  they pay the second gather; a ``lax.cond`` falls back to a full-width
-  second gather in the rare case the compaction capacity overflows, so
-  results are exact for every input.
+  overflow row index is packed into slot 0's aux field, so discovering it
+  costs no extra gather. Overflow (and grouped-lookup fallback) work is
+  compacted at block granularity and processed pay-as-you-go by a
+  ``while_loop`` over just the flagged blocks — exact for every input,
+  cost proportional to the actual dense coverage. See DESIGN.md §3 for
+  the measured TPU cost model behind each choice.
 
 Each candidate slot is 8 floats ``[x, y, z, mag, H_r, H_g, H_b, aux]``;
 ``aux`` holds the overflow pointer in slot 0 and is unused elsewhere.

@@ -81,10 +81,10 @@ def render_animation(
 
     with_bloom = cfg.scene.bloom_strength != 0.0
 
-    def frame_fn(params):
+    def frame_fn(params, g):
         from blackstar_tpu.imageio import encode_rgb8
 
-        img = _render(params, static, grid)
+        img = _render(params, static, g)
         if with_bloom:
             img = bloom(img, params.bloom_strength, static.bloom_divider)
         # sRGB + uint8 quantisation on device: only a quarter of the bytes
@@ -94,10 +94,15 @@ def render_animation(
 
     b = max(1, int(batch_frames))
 
+    # The star grid rides as an ARGUMENT: a closed-over grid would be baked
+    # into the program as a constant (hundreds of MB for the full-scale
+    # catalogue — blows compile-request limits and the compile cache).
     @jax.jit
-    def batch_fn(cams_b):
+    def batch_fn(cams_b, g):
         return jax.lax.map(
-            lambda cam: frame_fn(dataclasses.replace(base_params, camera=cam)),
+            lambda cam: frame_fn(
+                dataclasses.replace(base_params, camera=cam), g
+            ),
             cams_b,
         )
 
@@ -142,7 +147,7 @@ def render_animation(
             # needs a fixed batch size and extra renders are just discarded.
             idx = np.minimum(np.arange(start, start + b), n - 1)
             cams_b = jax.tree.map(lambda a: a[idx], cams)
-            out = batch_fn(cams_b)
+            out = batch_fn(cams_b, grid)
             try:
                 out.copy_to_host_async()
             except AttributeError:

@@ -311,6 +311,38 @@ class TestGroupedLookup:
         dirs = self._dirs_coherent(cat, 256, seed=31)
         self._check(grid, dirs)
 
+    def test_differentiable_path(self):
+        """differentiable=True swaps the while_loop machinery for the
+        capacity+cond form: results must match, and gradients w.r.t.
+        intensity/saturation must flow and agree with the per-ray path."""
+        import jax
+
+        cat = _random_catalog(500, seed=40)
+        grid = self._grid(cat)
+        dirs = jnp.asarray(self._dirs_coherent(cat, 1024, seed=41))
+
+        out_fwd = np.asarray(
+            grid.lookup_grouped(dirs, jnp.float64(0.7), jnp.float64(0.9))
+        )
+        out_diff = np.asarray(
+            grid.lookup_grouped(
+                dirs, jnp.float64(0.7), jnp.float64(0.9), differentiable=True
+            )
+        )
+        np.testing.assert_allclose(out_diff, out_fwd, atol=1e-12)
+
+        def loss(i, s, fn):
+            return jnp.sum(fn(dirs, i, s, differentiable=True) ** 2)
+
+        gi1, gs1 = jax.grad(loss, argnums=(0, 1))(
+            jnp.float64(0.7), jnp.float64(0.9), grid.lookup_grouped
+        )
+        gi2, gs2 = jax.grad(loss, argnums=(0, 1))(
+            jnp.float64(0.7), jnp.float64(0.9), grid.lookup
+        )
+        np.testing.assert_allclose(float(gi1), float(gi2), rtol=1e-10)
+        np.testing.assert_allclose(float(gs1), float(gs2), rtol=1e-10)
+
     def test_float32(self):
         cat = _random_catalog(400, seed=32)
         grid = build_star_grid(cat, dtype=jnp.float32, radius=0.006,
