@@ -289,7 +289,10 @@ class StarGrid:
         n_oct = width // (8 * _ROW)
         if n_oct * 8 * _ROW != width:
             raise ValueError(f"row width {width} not a multiple of 64")
-        if n_oct <= 2:
+        # Unrolling is only safe for a SINGLE octet: at ≥2 octets XLA splits
+        # the unrolled form into per-channel fusions that each re-read the
+        # whole row buffer (measured 5×; a 16-slot unroll cost 80 ms/frame).
+        if n_oct <= 1:
             return self._slot_math(
                 rows2d, 0, width // _ROW, planes, intensity, saturation, accs
             )
@@ -348,7 +351,7 @@ class StarGrid:
     def _base_math(self, rows2d, planes, intensity, saturation, accs):
         """Candidate math over the base table's K0 slots: unrolled when
         narrow, octet-scanned when wide (fusion-splitting avoidance)."""
-        if self.pad_k % 8 == 0 and self.pad_k > 16:
+        if self.pad_k % 8 == 0 and self.pad_k > 8:
             return self._octet_math(rows2d, planes, intensity, saturation, accs)
         return self._slot_math(
             rows2d, 0, self.pad_k, planes, intensity, saturation, accs
@@ -700,6 +703,12 @@ class StarGrid:
         r_in = 0.45 * jnp.minimum(delta, col_w)
         usable = jnp.asarray(self.margin * 0.99, dt) + r_in  # (G,)
 
+        # NOTE: a fused Pallas kernel for this base math was built and
+        # measured in round 2 (group→lane expansion via one-hot MXU
+        # matmuls) — it LOST on both axes: the MXU truncates f32 operands
+        # to bf16 (fatal at PSF scales: d² needs ~1e-7 of resolution), and
+        # the ~k0·7 small matmuls ran slower than the XLA broadcast-scan
+        # form (70 vs 49 ms/frame). Removed; see DESIGN.md §3.
         zg = jnp.zeros((n_groups, g), dt)
         [(ar4, ag4, ab4)] = self._base_math(
             base, [(nx4, ny4, nz4)], intensity, saturation, [(zg, zg, zg)]

@@ -21,6 +21,28 @@ SCENES = sorted(
 assert len(SCENES) == 9, SCENES
 
 
+def _oracle_cached(cfg, path, width):
+    """The scalar float64 oracle costs ~19 s at 64×36; since it is a pure
+    function of the scene parameters, cache its output keyed by a hash of
+    the *resolved* config. A stale cache cannot mask a regression in the
+    renderer — only a change to the oracle itself warrants clearing
+    tests/golden_cache/."""
+    import hashlib
+    import json
+
+    cache_dir = os.path.join(os.path.dirname(__file__), "golden_cache")
+    key_src = json.dumps(cfg.to_dict(), sort_keys=True)
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
+    name = f"{os.path.basename(path).removesuffix('.yaml')}_{width}_{key}.npy"
+    cache = os.path.join(cache_dir, name)
+    if os.path.exists(cache):
+        return np.load(cache)
+    want = oracle.render(cfg, None)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.save(cache, want)
+    return want
+
+
 def _check_scene(path, width):
     cfg = load_config(path)
     # Shrink to oracle-tractable size, preserve aspect; keep supersampling
@@ -39,7 +61,7 @@ def _check_scene(path, width):
     # The derived step cap must not truncate any ray on any reference scene
     # (SURVEY §7 "hard parts": termination -> fixed steps).
     assert float(stats.truncated_frac) == 0.0
-    want = oracle.render(cfg, None)
+    want = _oracle_cached(cfg, path, width) if width > 16 else oracle.render(cfg, None)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-7)
 
 

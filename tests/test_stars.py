@@ -356,6 +356,24 @@ class TestGroupedLookup:
         )
         np.testing.assert_allclose(got, want, atol=2e-6)
 
+    def test_mixed_divergent_active_f32(self):
+        """Mixed workload probe: coherent groups + divergent rays + an
+        active mask at k0=16 (clustered catalogue, overflow present) — the
+        grouped path must match the per-ray path."""
+        rng = np.random.default_rng(50)
+        cat = _random_catalog(800, seed=51, clusters=True)
+        grid = build_star_grid(cat, dtype=jnp.float32, radius=0.006,
+                               cell_size=0.008, k0=16)
+        n = 4096
+        dirs = self._dirs_coherent(cat, n, seed=52).astype(np.float32)
+        dirs[::17] = rng.normal(size=dirs[::17].shape)  # divergent rays
+        dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+        active = jnp.asarray(rng.uniform(size=n) < 0.9)
+        args = (dirs, jnp.float32(0.7), jnp.float32(0.9), active)
+        want = np.asarray(grid.lookup(*args))
+        got = np.asarray(grid.lookup_grouped(*args))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
 
 def test_empty_catalog():
     cat = Catalog(
