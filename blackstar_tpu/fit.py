@@ -109,11 +109,17 @@ def make_train_step(
     grad_mask: Optional[SceneParams] = None,
     pyramid: int = 0,
 ):
-    """Build a jittable ``(state, target) -> (state, loss)`` update step."""
+    """Build a jittable ``(state, target[, star_grid]) -> (state, loss)``
+    update step. The optional third argument overrides the grid at call
+    time — pass it there when jitting so the (possibly hundreds of MB)
+    tables ride as a program argument instead of being baked in as
+    constants (which blows compile-size limits at full catalogue scale)."""
 
-    def train_step(state: TrainState, target: jnp.ndarray) -> Tuple[TrainState, jnp.ndarray]:
+    def train_step(
+        state: TrainState, target: jnp.ndarray, grid=star_grid
+    ) -> Tuple[TrainState, jnp.ndarray]:
         loss, grads = jax.value_and_grad(image_loss)(
-            state.params, static, target, star_grid, mesh=mesh, pyramid=pyramid
+            state.params, static, target, grid, mesh=mesh, pyramid=pyramid
         )
         if grad_mask is not None:
             grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
@@ -180,13 +186,13 @@ def fit_scene(
     if pyramid and not isinstance(target, (tuple, list)):
         target = target_pyramid(target, pyramid)
     step_fn = make_train_step(
-        static, opt, star_grid, mesh=mesh, grad_mask=grad_mask, pyramid=pyramid
+        static, opt, mesh=mesh, grad_mask=grad_mask, pyramid=pyramid
     )
     if jit:
         step_fn = jax.jit(step_fn)
     losses = []
     for i in range(steps):
-        state, loss = step_fn(state, target)
+        state, loss = step_fn(state, target, star_grid)
         # Keep losses on device — a host sync per step would serialise the
         # loop (costly on tunneled TPUs). Callbacks receive the *device*
         # loss and pay the fetch only if/when they convert it.

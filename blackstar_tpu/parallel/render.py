@@ -53,12 +53,21 @@ def render_sharded(
     dt = static.jdtype
     rw, rh = static.render_width, static.render_height
     n_rays = rw * rh
-    per = -(-n_rays // n_dev)  # rays per device (ceil)
+    # Deal round-robin at star-lookup GROUP granularity (4 consecutive
+    # pixels): device d owns groups d, d+D, d+2D, … — the same static
+    # hard/easy interleave as a per-pixel deal, but each shard keeps whole
+    # groups so the grouped celestial-sphere lookup stays effective.
+    from blackstar_tpu.stars.grid import GROUP
+
+    n_groups = -(-n_rays // GROUP)
+    per_g = -(-n_groups // n_dev)  # groups per device (ceil)
+    per = per_g * GROUP
 
     def shard_fn(params, star_grid):
         d = jax.lax.axis_index(axis_name)
-        # Round-robin deal: this shard owns flat pixels d, d+D, d+2D, ...
-        pix = d + n_dev * jnp.arange(per, dtype=jnp.int32)
+        gid = d + n_dev * jnp.arange(per_g, dtype=jnp.int32)
+        pix = (gid[:, None] * GROUP + jnp.arange(GROUP, dtype=jnp.int32)
+               ).reshape(-1)
         # Ragged tail: out-of-range lanes re-march the last pixel
         # (clamped; their results are discarded below).
         pix_c = jnp.minimum(pix, n_rays - 1)
@@ -71,7 +80,7 @@ def render_sharded(
             differentiable=differentiable,
             use_pallas=use_pallas,
         )
-        return shade(res, params, star_grid, dt,
+        return shade(res, params, star_grid, dt, static,
                      differentiable=differentiable)  # (per, 3)
 
     out = jax.shard_map(
@@ -82,8 +91,12 @@ def render_sharded(
         check_vma=False,
     )(params, star_grid)
 
-    # out[(d, k)] = pixel d + k·D; transpose the deal back to row-major.
-    rgb = out.reshape(n_dev, per, 3).transpose(1, 0, 2).reshape(n_dev * per, 3)
+    # out[(d, k)] = group d + k·D; transpose the deal back to row-major.
+    rgb = (
+        out.reshape(n_dev, per_g, GROUP, 3)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_dev * per, 3)
+    )
     img = rgb[:n_rays].reshape(rh, rw, 3)
 
     if static.supersampling:

@@ -57,12 +57,14 @@ def main():
         cfg = Config(scene=scene, camera=cfg.camera)
         params, static = cfg.params(), cfg.static()
 
-        fx = jax.jit(lambda p: render(p, static, grid, use_pallas=False))
-        fp = jax.jit(lambda p: render(p, static, grid, use_pallas=True))
-        a = np.asarray(fx(params))
-        b = np.asarray(fp(params))  # compile
+        # The grid rides as a jit ARGUMENT (a closed-over grid is baked
+        # into the program as a constant — blows compile limits at scale).
+        fx = jax.jit(lambda p, g: render(p, static, g, use_pallas=False))
+        fp = jax.jit(lambda p, g: render(p, static, g, use_pallas=True))
+        a = np.asarray(fx(params, grid))
+        b = np.asarray(fp(params, grid))  # compile
         t0 = time.perf_counter()
-        b = np.asarray(fp(params))
+        b = np.asarray(fp(params, grid))
         dt = time.perf_counter() - t0
         diff = np.abs(a - b)
         name = os.path.basename(path)
