@@ -119,3 +119,54 @@ def test_preview_matches_small_render():
     st = pcfg.static()
     assert (st.width, st.height) == (300, 150)
     assert st.supersampling is False
+
+
+def test_grouped_eligibility_schedule():
+    """The grouped star lookup is a schedule choice gated on (fov, width,
+    margin): eligible at the canonical 1080p/fov1.5 frame, ineligible for
+    tiny previews, margin-free grids, or absurd fovs."""
+    from blackstar_tpu.config import Config, Scene, Camera
+    from blackstar_tpu.render import _grouped_eligible
+    from blackstar_tpu.stars.grid import build_star_grid
+    from tests.test_stars import _random_catalog
+
+    cat = _random_catalog(100, seed=60)
+    grid_m = build_star_grid(cat, cell_size=0.006, radius=0.0075)
+    grid_0 = build_star_grid(cat)  # margin 0
+    assert grid_m.margin > 0 and grid_0.margin == 0.0
+
+    def st(w, h, fov):
+        cam = Camera(position=(0, 1, -20), look_at=(0, 0, 0), up=(0, 1, 0), fov=fov)
+        return Config(scene=Scene(resolution=(w, h)), camera=cam).static()
+
+    n1080 = 1920 * 1080
+    assert _grouped_eligible(grid_m, st(1920, 1080, 1.5), n1080)
+    assert _grouped_eligible(grid_m, st(1920, 1080, 3.5), n1080)
+    assert not _grouped_eligible(grid_0, st(1920, 1080, 1.5), n1080)
+    assert not _grouped_eligible(grid_m, st(300, 168, 1.5), 300 * 168)  # preview
+    assert not _grouped_eligible(grid_m, st(1920, 1080, 30.0), n1080)
+
+
+def test_train_step_takes_grid_as_argument():
+    """Regression: jitting a train step must not bake the star grid in as a
+    program constant (full-scale tables blow compile-size limits) — the
+    grid rides as a call-time argument."""
+    import dataclasses
+
+    import optax
+
+    from blackstar_tpu.fit import init_train_state, make_train_step
+    from blackstar_tpu.stars.grid import build_star_grid
+    from tests.test_stars import _random_catalog
+
+    import jax
+
+    cfg = _cfg(res=(12, 8), diskOpacity=0.9, maxSteps=60, dtype="float32")
+    static, params = cfg.static(), cfg.params()
+    grid = build_star_grid(_random_catalog(64, seed=61), dtype=jnp.float32)
+    opt = optax.adam(1e-2)
+    state = init_train_state(params, opt)
+    target = jnp.zeros((static.height, static.width, 3), jnp.float32)
+    step = jax.jit(make_train_step(static, opt))
+    state2, loss = step(state, target, grid)
+    assert jnp.isfinite(loss)
