@@ -566,8 +566,8 @@ class StarGrid:
         active: Optional[jnp.ndarray] = None,
         chunk: int = 1 << 17,
         group: int = GROUP,
-        ray_block: int = 8,
-        group_block: int = 4,
+        ray_block: int = 32,
+        group_block: int = 8,
         invalid_frac: float = 0.25,
         ovf_frac: float = 0.5,
         differentiable: bool = False,
