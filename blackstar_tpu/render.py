@@ -54,15 +54,21 @@ def shade(res, params: SceneParams, star_grid, dt,
     escaped = res.status == ESCAPED
     if star_grid is not None:
         lookup = star_grid.lookup
+        kw = {}
         if static is not None and _grouped_eligible(star_grid, static,
                                                     res.vel.shape[0]):
             lookup = star_grid.lookup_grouped
+            if res.vel.shape[0] == static.render_width * static.render_height:
+                # Row-major pixel rays: the 2×g row-pair schedule halves the
+                # per-group gather/validity work (forward-only).
+                kw["row_pitch"] = static.render_width
         star_rgb = lookup(
             res.vel,
             intensity=params.stars.intensity.astype(dt),
             saturation=params.stars.saturation.astype(dt),
             active=escaped,
             differentiable=differentiable,
+            **kw,
         )
         bottom = jnp.where(escaped[:, None], star_rgb, jnp.zeros((), dt))
     else:

@@ -305,7 +305,7 @@ class StarGrid:
         return jax.lax.fori_loop(0, n_oct, body, [tuple(a) for a in accs])
 
     def _batched_blocks(self, dt, bf, pos, block, body_fn, per_unit,
-                        batch_blocks):
+                        batch_blocks, n_bufs=3):
         """Pay-as-you-go block compaction: process only the flagged blocks,
         in ``batch_blocks``-sized while_loop batches, and merge results back
         with a block-row gather. Cost scales with the ACTUAL flagged count
@@ -313,10 +313,10 @@ class StarGrid:
         results are exact for every input — no capacity to blow, no guard.
 
         ``bf``: (nb,) block flags; ``pos``: cumsum(bf)−1; ``block``: units
-        per block; ``body_fn(flat_unit_ids) -> 3 × (len·per_unit,)``
-        channel values (unit-major). Returns 3 × (nb·block·per_unit,) adds,
-        zero outside flagged blocks. Not reverse-mode differentiable (the
-        while_loop) — callers keep a capacity-based variant for AD.
+        per block; ``body_fn(flat_unit_ids) -> n_bufs × (len·per_unit,)``
+        channel values (unit-major). Returns n_bufs × (nb·block·per_unit,)
+        adds, zero outside flagged blocks. Not reverse-mode differentiable
+        (the while_loop) — callers keep a capacity-based variant for AD.
         """
         nb = bf.shape[0]
         b = min(batch_blocks, nb)
@@ -324,7 +324,7 @@ class StarGrid:
         bsel = jnp.nonzero(bf, size=nb_pad, fill_value=nb - 1)[0]
         n_used = jnp.sum(bf)
         width = block * per_unit
-        bufs = tuple(jnp.zeros((nb_pad * width,), dt) for _ in range(3))
+        bufs = tuple(jnp.zeros((nb_pad * width,), dt) for _ in range(n_bufs))
 
         def cond_fn(c):
             return c[0] * b < n_used
@@ -570,6 +570,9 @@ class StarGrid:
         group_block: int = 8,
         invalid_frac: float = 0.25,
         ovf_frac: float = 0.5,
+        ovf_batch_blocks: int = 512,
+        inv_batch_blocks: int = 256,
+        row_pitch: Optional[int] = None,
         differentiable: bool = False,
         debug_stages=None,
     ) -> jnp.ndarray:
@@ -586,6 +589,13 @@ class StarGrid:
         a ``lax.cond`` falls back to the exact ungrouped lookup for the
         whole chunk — results are exact for EVERY input, grouping only
         changes the schedule.
+
+        ``row_pitch`` (the image width, for rays in row-major pixel order)
+        enables the 2×``group`` *row-pair* schedule: groups are formed from
+        ``group`` consecutive pixels of TWO adjacent image rows, so one
+        gathered cell row serves ``2·group`` rays — half the per-group
+        work for a barely larger group spread. Forward-only; ignored when
+        it doesn't tile the input.
         """
         if self.margin <= 0.0:
             return self.lookup(vel, intensity, saturation, active,
@@ -595,80 +605,163 @@ class StarGrid:
         if self.n_stars == 0:
             return jnp.zeros((n, 3), dt)
         align = max(group * group_block, ray_block)
-        n_pad = -(-n // align) * align
-        if n_pad > chunk:
-            n_pad = -(-n // chunk) * chunk
-        vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
-        act = active
-        if n_pad != n:
-            pad = n_pad - n
-            one = jnp.ones((pad,), dt)
-            vx = jnp.concatenate([vx, one])
-            vy = jnp.concatenate([vy, one])
-            vz = jnp.concatenate([vz, one])
-            act = (
-                jnp.concatenate([active, jnp.zeros((pad,), bool)])
-                if active is not None
-                else jnp.ones((n_pad,), bool).at[n:].set(False)
-            )
         kw = dict(
             group=group, ray_block=ray_block, group_block=group_block,
             invalid_frac=invalid_frac, ovf_frac=ovf_frac,
+            ovf_batch_blocks=ovf_batch_blocks,
+            inv_batch_blocks=inv_batch_blocks,
             differentiable=differentiable, debug_stages=debug_stages,
         )
+        vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
+        use_pairs = (
+            row_pitch is not None
+            and row_pitch > 0
+            and not differentiable
+            and n % (2 * row_pitch) == 0
+            and n // 2 >= align
+        )
+        if use_pairs:
+            h2 = n // (2 * row_pitch)
+
+            def split(v):
+                v2 = v.reshape(h2, 2, row_pitch)
+                return v2[:, 0, :].reshape(-1), v2[:, 1, :].reshape(-1)
+
+            px, py, pz = split(vx), split(vy), split(vz)
+            acts = split(active) if active is not None else (None, None)
+            parts = [(px[0], py[0], pz[0]), (px[1], py[1], pz[1])]
+            o0, o1 = self._run_parts(
+                parts, list(acts), intensity, saturation,
+                chunk=max(align, chunk // 2 // align * align),
+                align=align, kw=kw,
+            )
+            return jnp.stack(
+                [o0.reshape(h2, row_pitch, 3), o1.reshape(h2, row_pitch, 3)],
+                axis=1,
+            ).reshape(n, 3)
+        [out] = self._run_parts(
+            [(vx, vy, vz)], [active], intensity, saturation,
+            chunk=chunk, align=align, kw=kw,
+        )
+        return out
+
+    def _run_parts(self, parts, actives, intensity, saturation, *,
+                   chunk, align, kw):
+        """Pad each part to ``align``, split into at most ``chunk``-ray
+        ``lax.map`` chunks, and run :meth:`_grouped_parts`. Returns per-part
+        (n, 3) colours."""
+        dt = parts[0][0].dtype
+        n = parts[0][0].shape[0]
+        n_pad = -(-n // align) * align
         if n_pad > chunk:
-            shaped = tuple(v.reshape(-1, chunk) for v in (vx, vy, vz))
-            acts = (
-                act.reshape(-1, chunk)
-                if act is not None
+            n_pad = -(-n // chunk) * chunk
+        if n_pad != n:
+            pad = n_pad - n
+            one = jnp.ones((pad,), dt)
+            parts = [tuple(jnp.concatenate([v, one]) for v in p)
+                     for p in parts]
+            actives = [
+                jnp.concatenate([a, jnp.zeros((pad,), bool)])
+                if a is not None
+                else jnp.ones((n_pad,), bool).at[n:].set(False)
+                for a in actives
+            ]
+        if n_pad > chunk:
+            flat = [v.reshape(-1, chunk) for p in parts for v in p]
+            acts = [
+                a.reshape(-1, chunk)
+                if a is not None
                 else jnp.ones((n_pad // chunk, chunk), bool)
-            )
-            out = jax.lax.map(
-                lambda a: self._grouped_block(
-                    a[0], a[1], a[2], intensity, saturation, a[3], **kw
-                ),
-                (*shaped, acts),
-            )
-            return out.reshape(n_pad, 3)[:n]
-        return self._grouped_block(
-            vx, vy, vz, intensity, saturation, act, **kw
-        )[:n]
+                for a in actives
+            ]
+            n_parts = len(parts)
+
+            def step(a):
+                ps = [tuple(a[3 * p + c] for c in range(3))
+                      for p in range(n_parts)]
+                outs = self._grouped_parts(
+                    ps, list(a[3 * n_parts:]), intensity, saturation, **kw
+                )
+                return tuple(outs)
+
+            outs = jax.lax.map(step, (*flat, *acts))
+            return [o.reshape(n_pad, 3)[:n] for o in outs]
+        outs = self._grouped_parts(parts, actives, intensity, saturation, **kw)
+        return [o[:n] for o in outs]
 
     def _grouped_block(
         self, vx, vy, vz, intensity, saturation, active, *,
         group, ray_block, group_block, invalid_frac, ovf_frac,
+        ovf_batch_blocks=512, inv_batch_blocks=256,
         differentiable=False, debug_stages=None,
     ) -> jnp.ndarray:
+        [out] = self._grouped_parts(
+            [(vx, vy, vz)], [active], intensity, saturation,
+            group=group, ray_block=ray_block, group_block=group_block,
+            invalid_frac=invalid_frac, ovf_frac=ovf_frac,
+            ovf_batch_blocks=ovf_batch_blocks,
+            inv_batch_blocks=inv_batch_blocks,
+            differentiable=differentiable, debug_stages=debug_stages,
+        )
+        return out
+
+    def _grouped_parts(
+        self, parts, actives, intensity, saturation, *,
+        group, ray_block, group_block, invalid_frac, ovf_frac,
+        ovf_batch_blocks=512, inv_batch_blocks=256,
+        differentiable=False, debug_stages=None,
+    ):
+        """Grouped-lookup core over one or more ray *parts*.
+
+        ``parts`` is a list of ``(vx, vy, vz)`` flat component planes, all
+        the same length n; group i is formed from rays [i·g, (i+1)·g) of
+        EVERY part, so one gathered cell row serves ``len(parts)·group``
+        rays. The single-part case is the classic 1×g consecutive-pixel
+        group; the row-pair schedule (:meth:`lookup_grouped`) passes the
+        even and odd image rows of a 2×g pixel block as two parts — same
+        per-ray math, HALF the per-group work (gather, cell ids, validity,
+        flags), and a barely larger group spread (2×4 blocks have a 2.24 px
+        circumradius vs 2 px for 1×4 runs). Returns a list of per-part
+        (n, 3) colours. The differentiable path (capacity-based compaction
+        + cond guards) supports a single part only.
+        """
         # debug_stages: None = everything (production); else a set drawn
         # from {"validity", "ovf", "invalid", "guard"} for perf isolation
         # (results are NOT exact when stages are dropped).
         on = (lambda s: True) if debug_stages is None else debug_stages.__contains__
-        dt = vx.dtype
-        n = vx.shape[0]
+        n_parts = len(parts)
+        if differentiable and n_parts != 1:
+            raise ValueError("multi-part grouped lookup is forward-only")
+        dt = parts[0][0].dtype
+        n = parts[0][0].shape[0]
         g = group
+        gt = n_parts * g  # rays served per gathered row
         n_groups = n // g
         intensity = intensity.astype(dt)
         saturation = saturation.astype(dt)
-        if active is not None:
-            one = jnp.ones((), dt)
-            vx = jnp.where(active, vx, one)
-            vy = jnp.where(active, vy, one)
-            vz = jnp.where(active, vz, one)
-        inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
-        nx0, ny0, nz0 = vx * inv, vy * inv, vz * inv
 
         # (G, g)-shaped ray views — free row-major reshapes of the flat ray
         # order. Math broadcasts each gathered row's columns over the
         # trailing in-group axis inside the octet scan; the representative
-        # direction is the (normalised) group MEAN — a minor-axis reduce,
-        # ~10× cheaper than a strided every-g-th slice on TPU (any
-        # deinterleaving of flat arrays measured ~2 GB/s).
-        nx4 = nx0.reshape(n_groups, g)
-        ny4 = ny0.reshape(n_groups, g)
-        nz4 = nz0.reshape(n_groups, g)
-        repx = nx4.mean(axis=-1)
-        repy = ny4.mean(axis=-1)
-        repz = nz4.mean(axis=-1)
+        # direction is the (normalised) mean over ALL the group's rays — a
+        # minor-axis reduce, ~10× cheaper than a strided every-g-th slice
+        # on TPU (any deinterleaving of flat arrays measured ~2 GB/s).
+        nx4s, ny4s, nz4s = [], [], []
+        repx = repy = repz = 0.0
+        for (vx, vy, vz), act in zip(parts, actives):
+            if act is not None:
+                one = jnp.ones((), dt)
+                vx = jnp.where(act, vx, one)
+                vy = jnp.where(act, vy, one)
+                vz = jnp.where(act, vz, one)
+            inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+            nx4s.append((vx * inv).reshape(n_groups, g))
+            ny4s.append((vy * inv).reshape(n_groups, g))
+            nz4s.append((vz * inv).reshape(n_groups, g))
+            repx = repx + nx4s[-1].mean(axis=-1)
+            repy = repy + ny4s[-1].mean(axis=-1)
+            repz = repz + nz4s[-1].mean(axis=-1)
+        nx4, ny4, nz4 = nx4s[0], ny4s[0], nz4s[0]
         rinv = jax.lax.rsqrt(repx * repx + repy * repy + repz * repz)
         # A degenerate (near-zero) mean yields NaN/garbage cell ids; the
         # validity test then fails those rays into the exact per-ray
@@ -710,17 +803,21 @@ class StarGrid:
         # the ~k0·7 small matmuls ran slower than the XLA broadcast-scan
         # form (70 vs 49 ms/frame). Removed; see DESIGN.md §3.
         zg = jnp.zeros((n_groups, g), dt)
-        [(ar4, ag4, ab4)] = self._base_math(
-            base, [(nx4, ny4, nz4)], intensity, saturation, [(zg, zg, zg)]
+        planes = [(nx4s[p], ny4s[p], nz4s[p]) for p in range(n_parts)]
+        accs = self._base_math(
+            base, planes, intensity, saturation,
+            [(zg, zg, zg) for _ in range(n_parts)],
         )
 
-        dxr = nx4 - cx[:, None]
-        dyr = ny4 - cy[:, None]
-        dzr = nz4 - cz[:, None]
-        valid = (
-            dxr * dxr + dyr * dyr + dzr * dzr
-            <= (usable * usable)[:, None]
-        )  # (G, g)
+        valids = []
+        for p in range(n_parts):
+            dxr = nx4s[p] - cx[:, None]
+            dyr = ny4s[p] - cy[:, None]
+            dzr = nz4s[p] - cz[:, None]
+            valids.append(
+                dxr * dxr + dyr * dyr + dzr * dzr
+                <= (usable * usable)[:, None]
+            )  # (G, g) per part
 
         # Overflow of the rep cell, block-compacted over GROUPS.
         ovf_ok = jnp.asarray(True)
@@ -734,24 +831,32 @@ class StarGrid:
             def ovf_body(gsel):
                 # gsel: flat group ids — their overflow RGB per ray. Ray
                 # extraction is a ROW gather of the (G, g) views (element
-                # gathers on flat arrays run at ~2 GB/s on TPU).
+                # gathers on flat arrays run at ~2 GB/s on TPU). Returns
+                # 3·n_parts flats, part-major — separate buffers per part
+                # keep every downstream merge a contiguous row gather.
                 orow = self.ovf_data[optr[gsel]].astype(dt)
-                rays = (nx4[gsel], ny4[gsel], nz4[gsel])  # (Mg, g) each
+                rays = [(nx4s[p][gsel], ny4s[p][gsel], nz4s[p][gsel])
+                        for p in range(n_parts)]
                 zo = jnp.zeros((gsel.shape[0], g), dt)
-                [o] = self._octet_math(
-                    orow, [rays], intensity, saturation, [(zo, zo, zo)]
+                outs = self._octet_math(
+                    orow, rays, intensity, saturation,
+                    [(zo, zo, zo) for _ in range(n_parts)],
                 )
-                return tuple(c.reshape(-1) for c in o)
+                return tuple(
+                    c.reshape(-1) for part in outs for c in part
+                )
 
             if not differentiable:
                 # Pay-as-you-go: a while_loop processes only the flagged
                 # blocks in fixed-size batches — cost scales with the
                 # actual overflow coverage, results are exact for every
                 # input (no capacity to blow).
-                add = self._batched_blocks(
+                flat_adds = self._batched_blocks(
                     dt, obf, opos, group_block, ovf_body, per_unit=g,
-                    batch_blocks=512,
+                    batch_blocks=ovf_batch_blocks, n_bufs=3 * n_parts,
                 )
+                part_adds = [flat_adds[3 * p:3 * p + 3]
+                             for p in range(n_parts)]
             else:
                 mbg = max(1, int(nbg * ovf_frac))
                 osel = jnp.nonzero(obf, size=mbg, fill_value=nbg)[0]
@@ -768,54 +873,76 @@ class StarGrid:
                     return jnp.where(obf[:, None], sel_rows, 0.0).reshape(-1)
 
                 add = tuple(merge(v) for v in vals)
+                part_adds = [add]
                 ovf_ok = jnp.sum(obf) <= mbg
 
-            # add is per-RAY ordered (n,).
-            ar4 = ar4 + add[0].reshape(n_groups, g)
-            ag4 = ag4 + add[1].reshape(n_groups, g)
-            ab4 = ab4 + add[2].reshape(n_groups, g)
+            # Each part's adds are per-RAY ordered (n,).
+            accs = [
+                tuple(a + pa.reshape(n_groups, g)
+                      for a, pa in zip(acc, part_adds[p]))
+                for p, acc in enumerate(accs)
+            ]
 
-        inv_ray = ~valid  # (G, g)
-        if active is not None:
-            inv_ray = inv_ray & active.reshape(n_groups, g)
+        inv_rays = []
+        for p, act in enumerate(actives):
+            ir = ~valids[p]  # (G, g)
+            if act is not None:
+                ir = ir & act.reshape(n_groups, g)
+            inv_rays.append(ir)
 
-        arT = ar4.reshape(n)
-        agT = ag4.reshape(n)
-        abT = ab4.reshape(n)
-        inv_flat = inv_ray.reshape(n)
+        chTs = [
+            tuple(c.reshape(n) for c in acc) for acc in accs
+        ]  # per part: (arT, agT, abT)
+        inv_flats = [ir.reshape(n) for ir in inv_rays]
 
         inv_ok = jnp.asarray(True)
         if on("invalid"):
             # Invalid rays (the strong-lensing belt, where in-group escape
             # directions diverge beyond the margin): exact per-ray
-            # recompute, compacted at (ray_block//g)-group granularity.
-            gpb = max(1, ray_block // g)  # groups per block
+            # recompute, compacted at (ray_block//gt)-group granularity.
+            gpb = max(1, ray_block // gt)  # groups per block
             nbr = n_groups // gpb
-            ibf = inv_ray.reshape(nbr, gpb, g).any(axis=(1, 2))
+            inv_any = inv_rays[0].any(axis=1)
+            for ir in inv_rays[1:]:
+                inv_any = inv_any | ir.any(axis=1)
+            ibf = inv_any.reshape(nbr, gpb).any(axis=1)
             ipos = jnp.cumsum(ibf) - 1
 
             def inv_body(gsel):
                 # Batch-sized: row-gather the (G, g) ray views, flatten
                 # (small), recompute per ray against its OWN cell with
                 # full-width overflow (no nested compaction in the body).
-                fx = nx4[gsel].reshape(-1)
-                fy = ny4[gsel].reshape(-1)
-                fz = nz4[gsel].reshape(-1)
+                # All parts share ONE _per_ray_rgb call; the part split of
+                # the result is a cheap major-axis slice of a small array.
+                fxs = [nx4s[p][gsel].reshape(-1) for p in range(n_parts)]
+                fys = [ny4s[p][gsel].reshape(-1) for p in range(n_parts)]
+                fzs = [nz4s[p][gsel].reshape(-1) for p in range(n_parts)]
+                m1 = fxs[0].shape[0]
                 facc = self._per_ray_rgb(
-                    fx, fy, fz, intensity, saturation,
+                    jnp.concatenate(fxs) if n_parts > 1 else fxs[0],
+                    jnp.concatenate(fys) if n_parts > 1 else fys[0],
+                    jnp.concatenate(fzs) if n_parts > 1 else fzs[0],
+                    intensity, saturation,
                     ovf_block=0 if not differentiable else 8,
                     differentiable=differentiable,
                 )
-                return tuple(facc)
+                return tuple(
+                    c[p * m1:(p + 1) * m1]
+                    for p in range(n_parts) for c in facc
+                )
 
             if not differentiable:
-                fadd = self._batched_blocks(
+                flat_f = self._batched_blocks(
                     dt, ibf, ipos, gpb, inv_body, per_unit=g,
-                    batch_blocks=256,
+                    batch_blocks=inv_batch_blocks, n_bufs=3 * n_parts,
                 )
-                arT = jnp.where(inv_flat, fadd[0], arT)
-                agT = jnp.where(inv_flat, fadd[1], agT)
-                abT = jnp.where(inv_flat, fadd[2], abT)
+                chTs = [
+                    tuple(
+                        jnp.where(inv_flats[p], flat_f[3 * p + c], chTs[p][c])
+                        for c in range(3)
+                    )
+                    for p in range(n_parts)
+                ]
             else:
                 mbr = max(1, int(nbr * invalid_frac))
                 isel = jnp.nonzero(ibf, size=mbr, fill_value=nbr)[0]
@@ -827,26 +954,33 @@ class StarGrid:
                 facc = inv_body(gsel)
                 inv_ok = jnp.sum(ibf) <= mbr
                 row_w = gpb * g
+                inv_flat = inv_flats[0]
 
                 def imerge(grouped_p, fp):
                     blk = fp.reshape(mbr, row_w)[ipos_c]  # (nbr, gpb·g)
                     merged = jnp.where(ibf[:, None], blk, 0.0).reshape(n)
                     return jnp.where(inv_flat, merged, grouped_p)
 
-                arT = imerge(arT, facc[0])
-                agT = imerge(agT, facc[1])
-                abT = imerge(abT, facc[2])
+                chTs = [tuple(
+                    imerge(chTs[0][c], facc[c]) for c in range(3)
+                )]
 
-        out_fast = jnp.minimum(jnp.stack([arT, agT, abT], axis=-1), 1.0)
-        if active is not None:
-            out_fast = jnp.where(active[:, None], out_fast, jnp.zeros((), dt))
+        outs = []
+        for p, act in enumerate(actives):
+            out_p = jnp.minimum(jnp.stack(list(chTs[p]), axis=-1), 1.0)
+            if act is not None:
+                out_p = jnp.where(act[:, None], out_p, jnp.zeros((), dt))
+            outs.append(out_p)
 
         if not differentiable or not on("guard"):
             # The batched paths are exact by construction — no guard needed.
-            return out_fast
+            return outs
 
         # Differentiable path: a blown compaction capacity falls back to
         # the ungrouped exact path for the whole block.
+        vx, vy, vz = parts[0]
+        active = actives[0]
+
         def slow():
             vel3 = jnp.stack([vx, vy, vz], axis=-1)
             return self._lookup_block(
@@ -854,7 +988,7 @@ class StarGrid:
                 differentiable=differentiable,
             )
 
-        return _guard(ovf_ok & inv_ok, out_fast, slow, differentiable)
+        return [_guard(ovf_ok & inv_ok, outs[0], slow, differentiable)]
 
 
 @dataclass

@@ -356,6 +356,45 @@ class TestGroupedLookup:
         )
         np.testing.assert_allclose(got, want, atol=2e-6)
 
+    def _dirs_image(self, cat, h, w, seed, spread=2e-4):
+        """Row-major image of smoothly varying directions (neighbouring
+        pixels AND neighbouring rows nearly parallel, like camera rays),
+        centred near catalogue stars so hits occur."""
+        rng = np.random.default_rng(seed)
+        c = cat.pos[rng.integers(0, cat.n_stars)]
+        u = np.linalg.svd(c[None])[2][1:]  # tangent basis
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        dirs = (
+            c[None, None]
+            + spread * (xx - w / 2)[..., None] * u[0]
+            + spread * (yy - h / 2)[..., None] * u[1]
+        ).reshape(-1, 3)
+        dirs += 0.1 * spread * rng.normal(size=dirs.shape)
+        return dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    def test_row_pair_schedule(self):
+        """row_pitch engages the 2×g row-pair parts: must equal the
+        per-ray path on image-ordered rays, with and without an active
+        mask, and across the chunked lax.map path."""
+        cat = _random_catalog(700, seed=60, clusters=True)
+        grid = self._grid(cat, k0=8)
+        assert grid.has_overflow
+        h, w = 16, 64
+        dirs = self._dirs_image(cat, h, w, seed=61)
+        rng = np.random.default_rng(62)
+        active = rng.uniform(size=h * w) < 0.85
+        for act in (None, active):
+            self._check(grid, dirs, active=act, row_pitch=w)
+            # chunked: each part maps in 2 chunks of 256 rays
+            self._check(grid, dirs, active=act, row_pitch=w, chunk=512)
+        # Divergent rays sprinkled in: exact fallback per part.
+        dirs2 = dirs.copy()
+        dirs2[::13] = rng.normal(size=dirs2[::13].shape)
+        dirs2 /= np.linalg.norm(dirs2, axis=-1, keepdims=True)
+        self._check(grid, dirs2, row_pitch=w)
+        # Non-tiling row_pitch is ignored, not an error.
+        self._check(grid, dirs[: h * w - w], row_pitch=w - 3)
+
     def test_mixed_divergent_active_f32(self):
         """Mixed workload probe: coherent groups + divergent rays + an
         active mask at k0=16 (clustered catalogue, overflow present) — the
