@@ -573,6 +573,7 @@ class StarGrid:
         ovf_batch_blocks: int = 512,
         inv_batch_blocks: int = 256,
         row_pitch: Optional[int] = None,
+        row_bands: int = 2,
         differentiable: bool = False,
         debug_stages=None,
     ) -> jnp.ndarray:
@@ -591,11 +592,13 @@ class StarGrid:
         changes the schedule.
 
         ``row_pitch`` (the image width, for rays in row-major pixel order)
-        enables the 2×``group`` *row-pair* schedule: groups are formed from
-        ``group`` consecutive pixels of TWO adjacent image rows, so one
-        gathered cell row serves ``2·group`` rays — half the per-group
-        work for a barely larger group spread. Forward-only; ignored when
-        it doesn't tile the input.
+        enables the ``row_bands``×``group`` *row-band* schedule: groups are
+        formed from ``group`` consecutive pixels of ``row_bands`` adjacent
+        image rows, so one gathered cell row serves ``row_bands·group``
+        rays — 1/``row_bands`` of the per-group work for a modestly larger
+        group spread (a 2×4 pixel block has a 1.58 px circumradius, 4×4 has
+        2.12 px, vs 1.5 px for a 1×4 run). Forward-only; ignored when it
+        doesn't tile the input.
         """
         if self.margin <= 0.0:
             return self.lookup(vel, intensity, saturation, active,
@@ -613,31 +616,32 @@ class StarGrid:
             differentiable=differentiable, debug_stages=debug_stages,
         )
         vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
-        use_pairs = (
+        p = int(row_bands)
+        use_bands = (
             row_pitch is not None
             and row_pitch > 0
+            and p > 1
             and not differentiable
-            and n % (2 * row_pitch) == 0
-            and n // 2 >= align
+            and n % (p * row_pitch) == 0
+            and n // p >= align
         )
-        if use_pairs:
-            h2 = n // (2 * row_pitch)
+        if use_bands:
+            hp = n // (p * row_pitch)
 
             def split(v):
-                v2 = v.reshape(h2, 2, row_pitch)
-                return v2[:, 0, :].reshape(-1), v2[:, 1, :].reshape(-1)
+                v2 = v.reshape(hp, p, row_pitch)
+                return [v2[:, i, :].reshape(-1) for i in range(p)]
 
             px, py, pz = split(vx), split(vy), split(vz)
-            acts = split(active) if active is not None else (None, None)
-            parts = [(px[0], py[0], pz[0]), (px[1], py[1], pz[1])]
-            o0, o1 = self._run_parts(
+            acts = split(active) if active is not None else [None] * p
+            parts = [(px[i], py[i], pz[i]) for i in range(p)]
+            outs = self._run_parts(
                 parts, list(acts), intensity, saturation,
-                chunk=max(align, chunk // 2 // align * align),
+                chunk=max(align, chunk // p // align * align),
                 align=align, kw=kw,
             )
             return jnp.stack(
-                [o0.reshape(h2, row_pitch, 3), o1.reshape(h2, row_pitch, 3)],
-                axis=1,
+                [o.reshape(hp, row_pitch, 3) for o in outs], axis=1
             ).reshape(n, 3)
         [out] = self._run_parts(
             [(vx, vy, vz)], [active], intensity, saturation,
@@ -717,11 +721,12 @@ class StarGrid:
         the same length n; group i is formed from rays [i·g, (i+1)·g) of
         EVERY part, so one gathered cell row serves ``len(parts)·group``
         rays. The single-part case is the classic 1×g consecutive-pixel
-        group; the row-pair schedule (:meth:`lookup_grouped`) passes the
-        even and odd image rows of a 2×g pixel block as two parts — same
-        per-ray math, HALF the per-group work (gather, cell ids, validity,
-        flags), and a barely larger group spread (2×4 blocks have a 2.24 px
-        circumradius vs 2 px for 1×4 runs). Returns a list of per-part
+        group; the row-band schedule (:meth:`lookup_grouped`) passes the
+        p adjacent image rows of a p×g pixel block as p parts — same
+        per-ray math, 1/p of the per-group work (gather, cell ids,
+        validity, flags), and a modestly larger group spread (2×4 blocks
+        have a 1.58 px circumradius, 4×4 have 2.12 px, vs 1.5 px for 1×4
+        runs). Returns a list of per-part
         (n, 3) colours. The differentiable path (capacity-based compaction
         + cond guards) supports a single part only.
         """

@@ -100,6 +100,15 @@ def main():
     grouped("chunk 2^19", grid, chunk=1 << 19)
     grouped("chunk 2^21 (single block)", grid, chunk=1 << 21)
 
+    # --- 1b. row-band schedules (p adjacent rows × g pixels) -----------
+    grouped("row-pair, chunk 2^17", grid, row_pitch=rw)
+    grouped("row-pair, chunk 2^21", grid, row_pitch=rw, chunk=1 << 21)
+    grouped("row-pair g=8 (2x8), chunk 2^21", grid, row_pitch=rw,
+            group=8, chunk=1 << 21)
+    grouped("row-quad (4x4), chunk 2^17", grid, row_pitch=rw, row_bands=4)
+    grouped("row-quad (4x4), chunk 2^21", grid, row_pitch=rw, row_bands=4,
+            chunk=1 << 21)
+
     if not args.quick:
         # --- 3. pay-as-you-go batch sizes at the best chunk ----------------
         for ck in (1 << 17, 1 << 21):
@@ -109,6 +118,9 @@ def main():
             grouped(f"chunk {tag}, inv_batch 1024", grid, chunk=ck,
                     inv_batch_blocks=1024)
             grouped(f"chunk {tag}, both batches 4x", grid, chunk=ck,
+                    ovf_batch_blocks=2048, inv_batch_blocks=1024)
+            grouped(f"chunk {tag}, row-pair, both batches 4x", grid,
+                    chunk=ck, row_pitch=rw,
                     ovf_batch_blocks=2048, inv_batch_blocks=1024)
 
     # --- 2. k0 rematerialisation --------------------------------------

@@ -395,6 +395,30 @@ class TestGroupedLookup:
         # Non-tiling row_pitch is ignored, not an error.
         self._check(grid, dirs[: h * w - w], row_pitch=w - 3)
 
+    def test_row_quad_schedule(self):
+        """row_bands=4 engages the 4×g row-band parts (one gather per 16
+        rays): must equal the per-ray path on image-ordered rays, with an
+        active mask, chunked, and with divergent rays forcing the exact
+        per-ray fallback."""
+        cat = _random_catalog(700, seed=63, clusters=True)
+        grid = self._grid(cat, k0=8)
+        assert grid.has_overflow
+        h, w = 16, 64
+        dirs = self._dirs_image(cat, h, w, seed=64)
+        rng = np.random.default_rng(65)
+        active = rng.uniform(size=h * w) < 0.85
+        for act in (None, active):
+            self._check(grid, dirs, active=act, row_pitch=w, row_bands=4)
+            self._check(grid, dirs, active=act, row_pitch=w, row_bands=4,
+                        chunk=512)
+        dirs2 = dirs.copy()
+        dirs2[::13] = rng.normal(size=dirs2[::13].shape)
+        dirs2 /= np.linalg.norm(dirs2, axis=-1, keepdims=True)
+        self._check(grid, dirs2, row_pitch=w, row_bands=4)
+        # Height not divisible by 4: the band schedule is skipped, not an
+        # error (falls back to single-part grouping).
+        self._check(grid, dirs[: 14 * w], row_pitch=w, row_bands=4)
+
     def test_mixed_divergent_active_f32(self):
         """Mixed workload probe: coherent groups + divergent rays + an
         active mask at k0=16 (clustered catalogue, overflow present) — the
