@@ -91,12 +91,12 @@ def main():
     )
 
     # Star lookup stage isolation on fixed production directions.
-    def stars_fn(stages):
+    def stars_fn(stages, **kw):
         def body(i, v, a, g):
             inten = params.stars.intensity + 1e-6 * i
             out = g.lookup_grouped(
                 v, intensity=inten, saturation=params.stars.saturation,
-                active=a, debug_stages=stages,
+                active=a, debug_stages=stages, **kw,
             )
             return jnp.sum(out)
         return k_loop(body)
@@ -106,6 +106,18 @@ def main():
                     vel, escaped, grid)
     t_ovf = timeit("stars: +ovf", stars_fn({"ovf"}), vel, escaped, grid)
     t_inv = timeit("stars: +invalid", stars_fn({"invalid"}), vel, escaped, grid)
+
+    # Row-band schedules (p adjacent rows share each group's gather).
+    for p in (2, 4):
+        timeit(f"stars: full, {p}-row bands", stars_fn(None, row_pitch=rw,
+                                                       row_bands=p),
+               vel, escaped, grid)
+        timeit(f"stars: base only, {p}-row bands",
+               stars_fn(set(), row_pitch=rw, row_bands=p),
+               vel, escaped, grid)
+        timeit(f"stars: +ovf, {p}-row bands",
+               stars_fn({"ovf"}, row_pitch=rw, row_bands=p),
+               vel, escaped, grid)
 
     # Raw gather cost: one row per group, production cell ids.
     from blackstar_tpu.stars.grid import GROUP

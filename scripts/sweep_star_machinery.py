@@ -132,6 +132,8 @@ def main():
                   f"ovf {g2.ovf_data.shape}", flush=True)
             grouped(f"k0={k0}, chunk 2^17", g2)
             grouped(f"k0={k0}, chunk 2^21", g2, chunk=1 << 21)
+            grouped(f"k0={k0}, row-quad, chunk 2^21", g2, row_pitch=rw,
+                    row_bands=4, chunk=1 << 21)
             del g2
 
 
