@@ -19,18 +19,14 @@ import sys
 from blackstar_tpu.util import prompt_overwrite_file, time_action
 
 
-def _default_cell_size() -> float:
-    # Pin the CLI default to the library's measured-optimal default so users
-    # following the README get the same lookup performance as every number
-    # quoted in DESIGN.md/BASELINE.md.
-    import inspect
-
-    from blackstar_tpu.stars.grid import build_star_grid
-
-    return inspect.signature(build_star_grid).parameters["cell_size"].default
-
-
 def build_parser(parser=None) -> argparse.ArgumentParser:
+    # Defaults are pinned to the committed artifact's production build
+    # (stars/artifact.py): cell size / halo radius / k0 sized for the
+    # grouped full-frame lookup. A grid built with the bare query radius
+    # (margin 0) would silently disable ``lookup_grouped`` — the ~10×
+    # slower per-ray path — for anyone rebuilding from a PPM catalogue.
+    from blackstar_tpu.stars import artifact
+
     p = parser or argparse.ArgumentParser(prog="blackstar generate-grid")
     p.add_argument("catalog", help="PPM star catalogue file")
     p.add_argument("output", help="output star-grid path (.npz)")
@@ -38,8 +34,22 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument(
         "--cell-size",
         type=float,
-        default=_default_cell_size(),
+        default=artifact.CELL_SIZE,
         help="grid ring height (rad)",
+    )
+    p.add_argument(
+        "--radius",
+        type=float,
+        default=artifact.RADIUS,
+        help="build halo radius (rad); the excess over 3·psf_width is the "
+        "group margin enabling the grouped lookup",
+    )
+    p.add_argument(
+        "--k0",
+        type=int,
+        default=artifact.K0,
+        help="base-table candidate slots per cell (excess goes to the "
+        "overflow table)",
     )
     return p
 
@@ -62,7 +72,10 @@ def main(argv=None) -> int:
         # The compact CSR form is what gets serialised (float64 slots);
         # loaders densify at each scene's compute dtype (f32 TPU, f64
         # golden).
-        grid = build_star_grid_compact(catalog, cell_size=args.cell_size)
+        grid = build_star_grid_compact(
+            catalog, cell_size=args.cell_size, radius=args.radius,
+            k0=args.k0,
+        )
 
     out = args.output if args.output.endswith(".npz") else args.output + ".npz"
     prompt_overwrite_file(out, lambda p: save_star_grid(grid, p), force=args.force)

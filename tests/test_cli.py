@@ -92,17 +92,39 @@ class TestGenerateGrid:
     def test_missing_catalog(self, tmp_path):
         assert grid_main([str(tmp_path / "no.ppm"), str(tmp_path / "o.npz")]) == 1
 
-    def test_cli_default_cell_size_matches_library(self):
+    def test_cli_defaults_match_production_artifact(self):
         # Regression: the CLI once defaulted to 0.02 while the library's
-        # measured-optimal default was 0.008 (VERDICT r1 weak #5).
-        import inspect
-
+        # measured-optimal default was 0.008 (VERDICT r1 weak #5); later
+        # it defaulted to the margin-0 build, which silently disables the
+        # grouped production lookup on user-rebuilt grids. Pin the CLI to
+        # the committed artifact's production build parameters.
         from blackstar_tpu.cli.generate_grid import build_parser
-        from blackstar_tpu.stars.grid import build_star_grid
+        from blackstar_tpu.stars import artifact
 
-        lib_default = inspect.signature(build_star_grid).parameters["cell_size"].default
-        cli_default = build_parser().get_default("cell_size")
-        assert cli_default == lib_default
+        p = build_parser()
+        assert p.get_default("cell_size") == artifact.CELL_SIZE
+        assert p.get_default("radius") == artifact.RADIUS
+        assert p.get_default("k0") == artifact.K0
+
+    def test_cli_built_grid_has_group_margin(self, tmp_path):
+        from blackstar_tpu.stars.catalog import encode_ppm
+        from blackstar_tpu.stars.grid import load_star_grid
+
+        rng = np.random.default_rng(7)
+        n = 50
+        ppm = tmp_path / "m.ppm"
+        ppm.write_bytes(
+            encode_ppm(
+                ra=rng.uniform(0, 2 * np.pi, n),
+                dec=rng.uniform(-np.pi / 2, np.pi / 2, n),
+                spectral=["B"] * n,
+                mag=rng.integers(500, 1200, n),
+            )
+        )
+        out = tmp_path / "m.grid.npz"
+        assert grid_main([str(ppm), str(out), "--force"]) == 0
+        grid = load_star_grid(str(out))
+        assert grid.margin > 0.0  # grouped lookup enabled
 
 
 class TestRender:
