@@ -14,6 +14,9 @@ numbers).
 Fault tolerance: the axon TPU tunnel occasionally drops a backend mid-run
 (round 1's bench of record died to a transient FAILED_PRECONDITION), so the
 whole measurement retries up to 3 times with a backend reset in between.
+A dead tunnel can also HANG (backend init blocks forever rather than
+erroring — observed Aug 2026), so each attempt runs under a SIGALRM
+watchdog and a hang is converted into a retryable failure.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "stars",
 "march_only_mrays", "ms_per_frame"}.
@@ -119,14 +122,28 @@ def measure() -> dict:
     }
 
 
+ATTEMPT_TIMEOUT_S = 1200  # covers cold star-grid build + first compile
+
+
 def main() -> None:
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"bench attempt exceeded {ATTEMPT_TIMEOUT_S}s (hung TPU tunnel?)"
+        )
+
+    signal.signal(signal.SIGALRM, _alarm)
     last_err = None
     for attempt in range(ATTEMPTS):
         try:
+            signal.alarm(ATTEMPT_TIMEOUT_S)
             result = measure()
+            signal.alarm(0)
             print(json.dumps(result))
             return
         except Exception as e:  # noqa: BLE001 — retry any backend fault
+            signal.alarm(0)
             last_err = e
             traceback.print_exc(file=sys.stderr)
             print(

@@ -36,6 +36,12 @@ class RenderStats(NamedTuple):
     truncated_frac: jnp.ndarray  # () fraction still active at the step cap
 
 
+# Image rows per star-lookup group block (the p of the p×g row-band
+# schedule, stars/grid.lookup_grouped). 2 until the TPU sweep picks the
+# winner between 2×4 and 4×4 (scripts/sweep_star_machinery.py).
+ROW_BANDS = 2
+
+
 def safe_distance(params: SceneParams, dtype) -> jnp.ndarray:
     """``max(50², 2·|camPos|²)`` (Raytracer.hs:59-60), differentiable."""
     p = params.camera.position.astype(dtype)
@@ -59,9 +65,12 @@ def shade(res, params: SceneParams, star_grid, dt,
                                                     res.vel.shape[0]):
             lookup = star_grid.lookup_grouped
             if res.vel.shape[0] == static.render_width * static.render_height:
-                # Row-major pixel rays: the 2×g row-pair schedule halves the
-                # per-group gather/validity work (forward-only).
+                # Row-major pixel rays: the p×g row-band schedule divides the
+                # per-group gather/validity work by p (forward-only).
+                # lookup_grouped skips the schedule when the frame height
+                # doesn't tile by ROW_BANDS.
                 kw["row_pitch"] = static.render_width
+                kw["row_bands"] = ROW_BANDS
         star_rgb = lookup(
             res.vel,
             intensity=params.stars.intensity.astype(dt),

@@ -154,6 +154,13 @@ class StarGrid:
     # table); the true 2-D layout gathers at ~9 ns/row.
     cell_data: jax.Array  # (C, K0·8) base candidate slots, sentinel-padded
     ovf_data: jax.Array  # (R, K1·8) overflow slots; row 0 = dummy
+    # (R,) int32 — used 8-slot octets per overflow row (0 for the dummy).
+    # K1 is sized by the DENSEST cell (galactic-band cores) but the median
+    # overflow cell uses ~2 of its octets; forward paths bound their octet
+    # scan by the max over each gathered batch, which is exact (slots past
+    # the used prefix are sentinels) and — because compaction batches are
+    # image-coherent — usually far below K1/8.
+    ovf_octets: jax.Array
     # Static metadata.
     n_rings: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
@@ -276,7 +283,8 @@ class StarGrid:
                 out[j] = (ar + val * cr, ag + val * cg, ab + val * cb)
         return out
 
-    def _octet_math(self, rows2d, planes, intensity, saturation, accs):
+    def _octet_math(self, rows2d, planes, intensity, saturation, accs,
+                    max_oct=None):
         """Like :meth:`_slot_math` over ALL slots of ``rows2d``, but in
         8-slot chunks via a ``fori_loop`` + aligned ``dynamic_slice`` so
         (a) wide rows don't unroll into huge programs and (b) XLA emits ONE
@@ -284,7 +292,11 @@ class StarGrid:
         was split into ~7 fusions each re-reading the whole row buffer at
         10 GiB/s (profiled), and a scan over a pre-transposed copy paid a
         full layout copy of the buffer instead. Slot count must be a
-        multiple of 8 (the overflow table is padded so)."""
+        multiple of 8 (the overflow table is padded so).
+
+        ``max_oct`` (traced int32, forward-only — a dynamic trip count has
+        no VJP) stops the scan after the batch's last USED octet: slots
+        past a row's used prefix are sentinels, so truncation is exact."""
         m, width = rows2d.shape
         n_oct = width // (8 * _ROW)
         if n_oct * 8 * _ROW != width:
@@ -302,7 +314,18 @@ class StarGrid:
             return self._slot_math(blk, 0, 8, planes, intensity, saturation,
                                    carry)
 
-        return jax.lax.fori_loop(0, n_oct, body, [tuple(a) for a in accs])
+        hi = n_oct if max_oct is None else jnp.minimum(
+            jnp.asarray(max_oct, jnp.int32), n_oct
+        )
+        return jax.lax.fori_loop(0, hi, body, [tuple(a) for a in accs])
+
+    def _oct_bound(self, optr, differentiable: bool):
+        """Max used-octet count over a batch of overflow pointers — the
+        dynamic scan bound for :meth:`_octet_math`. None on the AD path
+        (a traced trip count is not reverse-mode differentiable)."""
+        if differentiable:
+            return None
+        return jnp.max(self.ovf_octets[optr])
 
     def _batched_blocks(self, dt, bf, pos, block, body_fn, per_unit,
                         batch_blocks, n_bufs=3):
@@ -380,7 +403,8 @@ class StarGrid:
             # Full-width overflow row per ray (row 0 = all-sentinel dummy).
             orow = self.ovf_data[optr].astype(dt)
             [acc] = self._octet_math(
-                orow, [(nx, ny, nz)], intensity, saturation, [acc]
+                orow, [(nx, ny, nz)], intensity, saturation, [acc],
+                max_oct=self._oct_bound(optr, differentiable),
             )
             return acc
         has = optr > 0
@@ -397,6 +421,7 @@ class StarGrid:
         [sub] = self._octet_math(
             orow, [(nx[ridx], ny[ridx], nz[ridx])], intensity, saturation,
             [(zm, zm, zm)],
+            max_oct=self._oct_bound(optr[ridx], differentiable),
         )
 
         def merge(acc_p, sub_p):
@@ -408,7 +433,8 @@ class StarGrid:
         def slow():
             orow_all = self.ovf_data[optr].astype(dt)
             [r] = self._octet_math(
-                orow_all, [(nx, ny, nz)], intensity, saturation, [acc]
+                orow_all, [(nx, ny, nz)], intensity, saturation, [acc],
+                max_oct=self._oct_bound(optr, differentiable),
             )
             return tuple(r)
 
@@ -504,6 +530,7 @@ class StarGrid:
                 [(ar, ag, ab)] = self._octet_math(
                     orow, [(nx, ny, nz)], intensity, saturation,
                     [(ar, ag, ab)],
+                    max_oct=self._oct_bound(rowid, differentiable),
                 )
             else:
                 # Block-granular compaction: per-element jnp.nonzero /
@@ -526,6 +553,7 @@ class StarGrid:
                 [sub] = self._octet_math(
                     orow, [(nx[ridx], ny[ridx], nz[ridx])],
                     intensity, saturation, [(zm, zm, zm)],
+                    max_oct=self._oct_bound(rowid[ridx], differentiable),
                 )
 
                 def merge(acc_p, sub_p):
@@ -544,6 +572,7 @@ class StarGrid:
                     [r] = self._octet_math(
                         orow_all, [(nx, ny, nz)], intensity, saturation,
                         [(ar, ag, ab)],
+                        max_oct=self._oct_bound(rowid, differentiable),
                     )
                     return tuple(r)
 
@@ -846,6 +875,7 @@ class StarGrid:
                 outs = self._octet_math(
                     orow, rays, intensity, saturation,
                     [(zo, zo, zo) for _ in range(n_parts)],
+                    max_oct=self._oct_bound(optr[gsel], differentiable),
                 )
                 return tuple(
                     c.reshape(-1) for part in outs for c in part
@@ -1056,6 +1086,7 @@ class CompactStarGrid:
             ovf = np.zeros((1, 1, _ROW), np.float64)
             ovf[..., 0:3] = _SENTINEL_POS
             ovf[..., 3] = _SENTINEL_MAG
+            ovf_octets = np.zeros(1, np.int32)
         else:
             ovf_cells = np.flatnonzero(counts > k0e)
             n_ovf = len(ovf_cells)
@@ -1074,18 +1105,23 @@ class CompactStarGrid:
             # Overflow pointer lives in the base row's aux field: row+0 is
             # the dummy, so 0 means "none". Exact in f32 up to 2^24.
             base[:, 0, 7] = row_of_cell
+            ovf_octets = np.zeros(n_ovf + 1, np.int32)
+            ovf_octets[1:] = -(-(counts[ovf_cells] - k0e) // 8)
 
         base = base.reshape(base.shape[0], -1)
         ovf = ovf.reshape(ovf.shape[0], -1)
         if device:
             dt = jnp.dtype(dtype)
             cd, od = jnp.asarray(base, dt), jnp.asarray(ovf, dt)
+            oo = jnp.asarray(ovf_octets)
         else:
             dt = np.dtype(dtype)
             cd, od = base.astype(dt), ovf.astype(dt)
+            oo = ovf_octets
         return StarGrid(
             cell_data=cd,
             ovf_data=od,
+            ovf_octets=oo,
             n_rings=int(self.n_rings),
             n_cols=int(self.n_cols),
             n_stars=int(self.n_stars),

@@ -210,6 +210,19 @@ class TestOverflow:
         np.testing.assert_allclose(got_fast, want, atol=1e-12)
         np.testing.assert_allclose(got_slow, want, atol=1e-12)
 
+    def test_ovf_octets_metadata(self):
+        """ovf_octets must record each overflow row's used-octet prefix —
+        the dynamic scan bound must never cut off a real candidate."""
+        cat = self._dense_catalog(60, seed=17)
+        grid = build_star_grid(cat, k0=8, dtype=jnp.float64)
+        assert grid.has_overflow
+        octs = np.asarray(grid.ovf_octets)
+        ovf = np.asarray(grid.ovf_data).reshape(octs.shape[0], -1, 8)
+        used = (ovf[..., 3] < 1e8).sum(axis=1)  # non-sentinel slots per row
+        np.testing.assert_array_equal(octs, -(-used // 8))
+        assert octs[0] == 0  # dummy row
+        assert octs.max() >= 2  # the bound actually has multiple octets
+
     def test_overflow_roundtrip_and_k0_override(self, tmp_path):
         cat = self._dense_catalog(30, seed=15)
         grid = build_star_grid(cat, k0=6, dtype=jnp.float64)
