@@ -122,6 +122,13 @@ def main():
             grouped(f"chunk {tag}, row-pair, both batches 4x", grid,
                     chunk=ck, row_pitch=rw,
                     ovf_batch_blocks=2048, inv_batch_blocks=1024)
+        # Small overflow batches: the dynamic octet bound makes narrow
+        # batches pay fewer octets (batch max ~7/10 at 512 blocks; image-
+        # coherent 128-block batches should sit lower).
+        grouped("row-quad, ovf_batch 128", grid, row_pitch=rw, row_bands=4,
+                chunk=1 << 21, ovf_batch_blocks=128)
+        grouped("row-quad, ovf_batch 256", grid, row_pitch=rw, row_bands=4,
+                chunk=1 << 21, ovf_batch_blocks=256)
 
     # --- 2. k0 rematerialisation --------------------------------------
     if args.k0_sweep:
