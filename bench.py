@@ -12,11 +12,12 @@ BASELINE.json north-star target — the reference itself publishes no
 numbers).
 
 Fault tolerance: the axon TPU tunnel occasionally drops a backend mid-run
-(round 1's bench of record died to a transient FAILED_PRECONDITION), so the
-whole measurement retries up to 3 times with a backend reset in between.
-A dead tunnel can also HANG (backend init blocks forever rather than
-erroring — observed Aug 2026), so each attempt runs under a SIGALRM
-watchdog and a hang is converted into a retryable failure.
+(round 1's bench of record died to a transient FAILED_PRECONDITION) and a
+dead tunnel can also HANG (backend init blocks forever inside C++ —
+observed Aug 2026; a SIGALRM watchdog cannot interrupt a hang that never
+returns to the interpreter). Each attempt therefore runs in a fresh child
+process under a hard timeout: a hang or crash becomes a retryable failure,
+and a new process is the strongest possible backend reset.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "stars",
 "march_only_mrays", "ms_per_frame"}.
@@ -126,39 +127,44 @@ ATTEMPT_TIMEOUT_S = 1200  # covers cold star-grid build + first compile
 
 
 def main() -> None:
-    import signal
+    if os.environ.get("_BENCH_CHILD") == "1":
+        try:
+            print(json.dumps(measure()), flush=True)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            raise SystemExit(1)
+        return
 
-    def _alarm(signum, frame):
-        raise TimeoutError(
-            f"bench attempt exceeded {ATTEMPT_TIMEOUT_S}s (hung TPU tunnel?)"
-        )
+    import subprocess
 
-    signal.signal(signal.SIGALRM, _alarm)
     last_err = None
     for attempt in range(ATTEMPTS):
         try:
-            signal.alarm(ATTEMPT_TIMEOUT_S)
-            result = measure()
-            signal.alarm(0)
-            print(json.dumps(result))
-            return
-        except Exception as e:  # noqa: BLE001 — retry any backend fault
-            signal.alarm(0)
-            last_err = e
-            traceback.print_exc(file=sys.stderr)
-            print(
-                f"bench attempt {attempt + 1}/{ATTEMPTS} failed ({e!r}); "
-                "resetting backends",
-                file=sys.stderr,
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "_BENCH_CHILD": "1"},
+                stdout=subprocess.PIPE,
+                timeout=ATTEMPT_TIMEOUT_S,
             )
-            try:
-                from jax.extend import backend as _backend
-
-                _backend.clear_backends()
-            except Exception:
-                pass
-            time.sleep(5.0 * (attempt + 1))
-    raise SystemExit(f"bench failed after {ATTEMPTS} attempts: {last_err!r}")
+            if proc.returncode == 0 and proc.stdout.strip():
+                line = proc.stdout.decode().strip().splitlines()[-1]
+                json.loads(line)  # must be the JSON result line
+                print(line)
+                return
+            last_err = f"child exited rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            last_err = (
+                f"child exceeded {ATTEMPT_TIMEOUT_S}s (hung TPU tunnel?)"
+            )
+        except Exception as e:  # noqa: BLE001 — retry any fault
+            last_err = repr(e)
+        print(
+            f"bench attempt {attempt + 1}/{ATTEMPTS} failed ({last_err}); "
+            "retrying in a fresh process",
+            file=sys.stderr,
+        )
+        time.sleep(5.0 * (attempt + 1))
+    raise SystemExit(f"bench failed after {ATTEMPTS} attempts: {last_err}")
 
 
 if __name__ == "__main__":

@@ -97,10 +97,12 @@ def _grouped_eligible(star_grid, static: StaticConfig, n_rays: int) -> bool:
         return False
     from blackstar_tpu.stars.grid import GROUP
 
-    # Validity is tested against the group's MIDDLE ray, so the worst
-    # in-group offset is GROUP//2 pixels (pixel pitch ≈ fov/width at the
+    # Validity is tested against the group mean, so the worst in-group
+    # offset is the pixel-block circumradius: half extents (GROUP−1)/2
+    # across and (ROW_BANDS−1)/2 down (pixel pitch ≈ fov/width at the
     # frame centre, smaller toward the edges).
-    spread = (GROUP // 2) * static.fov_hint / max(1, static.render_width)
+    px = static.fov_hint / max(1, static.render_width)
+    spread = 0.5 * px * ((GROUP - 1) ** 2 + (ROW_BANDS - 1) ** 2) ** 0.5
     return spread * 1.3 <= margin
 
 
