@@ -138,6 +138,7 @@ def main() -> None:
     import subprocess
 
     last_err = None
+    timeouts = 0
     for attempt in range(ATTEMPTS):
         try:
             proc = subprocess.run(
@@ -153,9 +154,16 @@ def main() -> None:
                 return
             last_err = f"child exited rc={proc.returncode}"
         except subprocess.TimeoutExpired:
+            timeouts += 1
             last_err = (
                 f"child exceeded {ATTEMPT_TIMEOUT_S}s (hung TPU tunnel?)"
             )
+            if timeouts >= 2:
+                # Two full-length hangs = the tunnel is dead, not flaky;
+                # don't burn another ATTEMPT_TIMEOUT_S of driver time.
+                raise SystemExit(
+                    f"bench aborted: {timeouts} consecutive hangs ({last_err})"
+                )
         except Exception as e:  # noqa: BLE001 — retry any fault
             last_err = repr(e)
         print(
