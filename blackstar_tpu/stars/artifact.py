@@ -26,6 +26,11 @@ import jax.numpy as jnp
 CELL_SIZE = 0.006
 RADIUS = 0.0075
 K0 = 32
+# Production two-tier overflow split (octets kept in the tier-1 rows; see
+# StarGrid.ovf2_data). None = single-tier until the hardware sweep
+# (scripts/sweep_star_machinery.py) picks the winner — the split is a pure
+# load-time layout choice, the on-disk artifact is unchanged.
+OVF_SPLIT: Optional[int] = None
 
 
 def repo_root() -> str:
@@ -63,7 +68,8 @@ def ensure_star_grid(path: Optional[str] = None, *, build: bool = True) -> Optio
 
 
 def default_star_grid(dtype=jnp.float32, *, build: bool = True,
-                      k0: Optional[int] = None):
+                      k0: Optional[int] = None,
+                      ovf_split: Optional[int] = "default"):
     """Load (building if necessary) the default full-scale star grid.
     Returns None when neither the cache nor the catalogue exists."""
     path = ensure_star_grid(build=build)
@@ -71,4 +77,6 @@ def default_star_grid(dtype=jnp.float32, *, build: bool = True,
         return None
     from blackstar_tpu.stars.grid import load_star_grid
 
-    return load_star_grid(path, dtype=dtype, k0=k0)
+    if ovf_split == "default":
+        ovf_split = OVF_SPLIT
+    return load_star_grid(path, dtype=dtype, k0=k0, ovf_split=ovf_split)

@@ -167,6 +167,17 @@ class StarGrid:
     n_stars: int = dataclasses.field(metadata=dict(static=True))
     psf_width: float = dataclasses.field(metadata=dict(static=True))
     radius: float = dataclasses.field(metadata=dict(static=True))
+    # Optional SECOND overflow tier (``to_grid(ovf_split=...)``): the first
+    # ``ovf_split`` octets of every overflow cell stay in the (narrow)
+    # ``ovf_data`` rows; the rare deeper cells chain into ``ovf2_data``
+    # through a pointer packed in base slot 1's aux field. Measured on the
+    # production artifact (470k stars, k0=32, K1=10 octets): the median
+    # overflow row uses 2 of 10 octets, so single-tier rows gather 2560 B
+    # each where ~512 B are live; at ovf_split=4 the gathered overflow
+    # bytes halve and the tier-2 pass touches only ~3% of group blocks
+    # (vs ~23% for tier 1 on the default 1080p framing).
+    ovf2_data: Optional[jax.Array] = None  # (R2, K2·8); row 0 = dummy
+    ovf2_octets: Optional[jax.Array] = None  # (R2,) int32
 
     @property
     def pad_k(self) -> int:
@@ -175,6 +186,21 @@ class StarGrid:
     @property
     def has_overflow(self) -> bool:
         return self.ovf_data.shape[0] > 1
+
+    @property
+    def has_ovf2(self) -> bool:
+        return self.ovf2_data is not None and self.ovf2_data.shape[0] > 1
+
+    def _ovf_tiers(self):
+        """(table, used-octets, base-row pointer column) per overflow tier.
+        Every lookup path processes the tiers identically — tier 2 just has
+        far rarer flags, so its compacted pass is near-free."""
+        tiers = []
+        if self.has_overflow:
+            tiers.append((self.ovf_data, self.ovf_octets, 7))
+        if self.has_ovf2:
+            tiers.append((self.ovf2_data, self.ovf2_octets, _ROW + 7))
+        return tiers
 
     @property
     def margin(self) -> float:
@@ -193,10 +219,15 @@ class StarGrid:
             self,
             cell_data=self.cell_data.astype(dt),
             ovf_data=self.ovf_data.astype(dt),
+            ovf2_data=(None if self.ovf2_data is None
+                       else self.ovf2_data.astype(dt)),
         )
 
     def nbytes(self) -> int:
-        return self.cell_data.nbytes + self.ovf_data.nbytes
+        n = self.cell_data.nbytes + self.ovf_data.nbytes
+        if self.ovf2_data is not None:
+            n += self.ovf2_data.nbytes
+        return n
 
     def cell_ids(self, nvel: jnp.ndarray) -> jnp.ndarray:
         """Bucket id for unit directions (N, 3)."""
@@ -319,13 +350,15 @@ class StarGrid:
         )
         return jax.lax.fori_loop(0, hi, body, [tuple(a) for a in accs])
 
-    def _oct_bound(self, optr, differentiable: bool):
-        """Max used-octet count over a batch of overflow pointers — the
-        dynamic scan bound for :meth:`_octet_math`. None on the AD path
-        (a traced trip count is not reverse-mode differentiable)."""
+    @staticmethod
+    def _oct_bound(octs, optr, differentiable: bool):
+        """Max used-octet count over a batch of overflow pointers (into the
+        given tier's ``octs`` array) — the dynamic scan bound for
+        :meth:`_octet_math`. None on the AD path (a traced trip count is
+        not reverse-mode differentiable)."""
         if differentiable:
             return None
-        return jnp.max(self.ovf_octets[optr])
+        return jnp.max(octs[optr])
 
     def _batched_blocks(self, dt, bf, pos, block, body_fn, per_unit,
                         batch_blocks, n_bufs=3):
@@ -396,49 +429,50 @@ class StarGrid:
         [acc] = self._base_math(
             row, [(nx, ny, nz)], intensity, saturation, [(z, z, z)]
         )
-        if not self.has_overflow:
-            return acc
-        optr = row[:, 7].astype(jnp.int32)
-        if not ovf_block or m % ovf_block or m < 8 * ovf_block:
-            # Full-width overflow row per ray (row 0 = all-sentinel dummy).
-            orow = self.ovf_data[optr].astype(dt)
-            [acc] = self._octet_math(
-                orow, [(nx, ny, nz)], intensity, saturation, [acc],
-                max_oct=self._oct_bound(optr, differentiable),
+        for tbl, octs, pcol in self._ovf_tiers():
+            optr = row[:, pcol].astype(jnp.int32)
+            if not ovf_block or m % ovf_block or m < 8 * ovf_block:
+                # Full-width overflow row per ray (row 0 = all-sentinel dummy).
+                orow = tbl[optr].astype(dt)
+                [acc] = self._octet_math(
+                    orow, [(nx, ny, nz)], intensity, saturation, [acc],
+                    max_oct=self._oct_bound(octs, optr, differentiable),
+                )
+                continue
+            has = optr > 0
+            nb = m // ovf_block
+            bf = has.reshape(nb, ovf_block).any(axis=1)
+            mb = max(1, int(nb * ovf_frac))
+            sel = jnp.nonzero(bf, size=mb, fill_value=nb)[0]
+            pos = jnp.minimum(jnp.cumsum(bf) - 1, mb - 1)
+            ridx = (
+                jnp.minimum(sel, nb - 1)[:, None] * ovf_block
+                + jnp.arange(ovf_block)
+            ).reshape(-1)
+            orow = tbl[optr[ridx]].astype(dt)
+            zm = jnp.zeros((ridx.shape[0],), dt)
+            [sub] = self._octet_math(
+                orow, [(nx[ridx], ny[ridx], nz[ridx])], intensity, saturation,
+                [(zm, zm, zm)],
+                max_oct=self._oct_bound(octs, optr[ridx], differentiable),
             )
-            return acc
-        has = optr > 0
-        nb = m // ovf_block
-        bf = has.reshape(nb, ovf_block).any(axis=1)
-        mb = max(1, int(nb * ovf_frac))
-        sel = jnp.nonzero(bf, size=mb, fill_value=nb)[0]
-        pos = jnp.minimum(jnp.cumsum(bf) - 1, mb - 1)
-        ridx = (
-            jnp.minimum(sel, nb - 1)[:, None] * ovf_block + jnp.arange(ovf_block)
-        ).reshape(-1)
-        orow = self.ovf_data[optr[ridx]].astype(dt)
-        zm = jnp.zeros((ridx.shape[0],), dt)
-        [sub] = self._octet_math(
-            orow, [(nx[ridx], ny[ridx], nz[ridx])], intensity, saturation,
-            [(zm, zm, zm)],
-            max_oct=self._oct_bound(optr[ridx], differentiable),
-        )
 
-        def merge(acc_p, sub_p):
-            blk = sub_p.reshape(mb, ovf_block)[pos]
-            return acc_p + jnp.where(bf[:, None], blk, 0.0).reshape(m)
+            def merge(acc_p, sub_p, bf=bf, pos=pos, mb=mb):
+                blk = sub_p.reshape(mb, ovf_block)[pos]
+                return acc_p + jnp.where(bf[:, None], blk, 0.0).reshape(m)
 
-        fast_val = tuple(merge(a_, s_) for a_, s_ in zip(acc, sub))
+            fast_val = tuple(merge(a_, s_) for a_, s_ in zip(acc, sub))
 
-        def slow():
-            orow_all = self.ovf_data[optr].astype(dt)
-            [r] = self._octet_math(
-                orow_all, [(nx, ny, nz)], intensity, saturation, [acc],
-                max_oct=self._oct_bound(optr, differentiable),
-            )
-            return tuple(r)
+            def slow(tbl=tbl, octs=octs, optr=optr, acc=acc):
+                orow_all = tbl[optr].astype(dt)
+                [r] = self._octet_math(
+                    orow_all, [(nx, ny, nz)], intensity, saturation, [acc],
+                    max_oct=self._oct_bound(octs, optr, differentiable),
+                )
+                return tuple(r)
 
-        return _guard(jnp.sum(bf) <= mb, fast_val, slow, differentiable)
+            acc = _guard(jnp.sum(bf) <= mb, fast_val, slow, differentiable)
+        return acc
 
     def lookup(
         self,
@@ -518,19 +552,19 @@ class StarGrid:
             data, [(nx, ny, nz)], intensity, saturation, [(z, z, z)]
         )
 
-        if self.has_overflow:
-            rowid = data[:, 7].astype(jnp.int32)  # slot-0 aux; 0 = none
+        for tbl, octs, pcol in self._ovf_tiers():
+            rowid = data[:, pcol].astype(jnp.int32)  # base-row aux; 0 = none
             has = rowid > 0
             if active is not None:
                 has = has & active
             if n % ray_block or n < 8 * ray_block:
                 # Tiny/ragged block: just gather a second row for every ray
                 # (row 0 is the all-sentinel dummy).
-                orow = self.ovf_data[rowid].astype(dt)
+                orow = tbl[rowid].astype(dt)
                 [(ar, ag, ab)] = self._octet_math(
                     orow, [(nx, ny, nz)], intensity, saturation,
                     [(ar, ag, ab)],
-                    max_oct=self._oct_bound(rowid, differentiable),
+                    max_oct=self._oct_bound(octs, rowid, differentiable),
                 )
             else:
                 # Block-granular compaction: per-element jnp.nonzero /
@@ -548,15 +582,15 @@ class StarGrid:
                     jnp.minimum(sel, nb - 1)[:, None] * ray_block
                     + jnp.arange(ray_block)
                 ).reshape(-1)
-                orow = self.ovf_data[rowid[ridx]].astype(dt)
+                orow = tbl[rowid[ridx]].astype(dt)
                 zm = jnp.zeros((ridx.shape[0],), dt)
                 [sub] = self._octet_math(
                     orow, [(nx[ridx], ny[ridx], nz[ridx])],
                     intensity, saturation, [(zm, zm, zm)],
-                    max_oct=self._oct_bound(rowid[ridx], differentiable),
+                    max_oct=self._oct_bound(octs, rowid[ridx], differentiable),
                 )
 
-                def merge(acc_p, sub_p):
+                def merge(acc_p, sub_p, bf=bf, pos=pos, mb=mb):
                     blk = sub_p.reshape(mb, ray_block)[pos]  # (nb, rb)
                     blk = jnp.where(bf[:, None], blk, 0.0)
                     return acc_p + blk.reshape(n)
@@ -565,14 +599,14 @@ class StarGrid:
                     merge(a_, s_) for a_, s_ in zip((ar, ag, ab), sub)
                 )
 
-                def slow():
+                def slow(tbl=tbl, octs=octs, rowid=rowid, acc=(ar, ag, ab)):
                     # Capacity exceeded (dense galactic-band framing):
                     # exact full-width second gather for every ray.
-                    orow_all = self.ovf_data[rowid].astype(dt)
+                    orow_all = tbl[rowid].astype(dt)
                     [r] = self._octet_math(
                         orow_all, [(nx, ny, nz)], intensity, saturation,
-                        [(ar, ag, ab)],
-                        max_oct=self._oct_bound(rowid, differentiable),
+                        [acc],
+                        max_oct=self._oct_bound(octs, rowid, differentiable),
                     )
                     return tuple(r)
 
@@ -760,8 +794,8 @@ class StarGrid:
         + cond guards) supports a single part only.
         """
         # debug_stages: None = everything (production); else a set drawn
-        # from {"validity", "ovf", "invalid", "guard"} for perf isolation
-        # (results are NOT exact when stages are dropped).
+        # from {"validity", "ovf", "ovf2", "invalid", "guard"} for perf
+        # isolation (results are NOT exact when stages are dropped).
         on = (lambda s: True) if debug_stages is None else debug_stages.__contains__
         n_parts = len(parts)
         if differentiable and n_parts != 1:
@@ -853,29 +887,33 @@ class StarGrid:
                 <= (usable * usable)[:, None]
             )  # (G, g) per part
 
-        # Overflow of the rep cell, block-compacted over GROUPS.
+        # Overflow of the rep cell, block-compacted over GROUPS — one pass
+        # per tier (tier 2, when present, has ~7× rarer flags; see the
+        # ``ovf2_data`` field note).
         ovf_ok = jnp.asarray(True)
-        if self.has_overflow and on("ovf"):
-            optr = base[:, 7].astype(jnp.int32)  # (G,)
+        for tier_i, (tbl, octs, pcol) in enumerate(self._ovf_tiers()):
+            if not on("ovf" if tier_i == 0 else "ovf2"):
+                continue
+            optr = base[:, pcol].astype(jnp.int32)  # (G,)
             hasg = optr > 0
             nbg = n_groups // group_block
             obf = hasg.reshape(nbg, group_block).any(axis=1)
             opos = jnp.cumsum(obf) - 1
 
-            def ovf_body(gsel):
+            def ovf_body(gsel, tbl=tbl, octs=octs, optr=optr):
                 # gsel: flat group ids — their overflow RGB per ray. Ray
                 # extraction is a ROW gather of the (G, g) views (element
                 # gathers on flat arrays run at ~2 GB/s on TPU). Returns
                 # 3·n_parts flats, part-major — separate buffers per part
                 # keep every downstream merge a contiguous row gather.
-                orow = self.ovf_data[optr[gsel]].astype(dt)
+                orow = tbl[optr[gsel]].astype(dt)
                 rays = [(nx4s[p][gsel], ny4s[p][gsel], nz4s[p][gsel])
                         for p in range(n_parts)]
                 zo = jnp.zeros((gsel.shape[0], g), dt)
                 outs = self._octet_math(
                     orow, rays, intensity, saturation,
                     [(zo, zo, zo) for _ in range(n_parts)],
-                    max_oct=self._oct_bound(optr[gsel], differentiable),
+                    max_oct=self._oct_bound(octs, optr[gsel], differentiable),
                 )
                 return tuple(
                     c.reshape(-1) for part in outs for c in part
@@ -903,13 +941,13 @@ class StarGrid:
                 pos_c = jnp.minimum(opos, mbg - 1)
                 row_w = group_block * g
 
-                def merge(vc):
+                def merge(vc, obf=obf, pos_c=pos_c, mbg=mbg, row_w=row_w):
                     sel_rows = vc.reshape(mbg, row_w)[pos_c]  # (nbg, gb·g)
                     return jnp.where(obf[:, None], sel_rows, 0.0).reshape(-1)
 
                 add = tuple(merge(v) for v in vals)
                 part_adds = [add]
-                ovf_ok = jnp.sum(obf) <= mbg
+                ovf_ok = ovf_ok & (jnp.sum(obf) <= mbg)
 
             # Each part's adds are per-RAY ordered (n,).
             accs = [
@@ -1054,8 +1092,18 @@ class CompactStarGrid:
         return self.star_rows[self.star_ids]
 
     def to_grid(self, dtype=jnp.float32, device: bool = True,
-                k0: Optional[int] = None) -> StarGrid:
-        """Materialise the dense two-level device tables."""
+                k0: Optional[int] = None,
+                ovf_split: Optional[int] = None) -> StarGrid:
+        """Materialise the dense two-level device tables.
+
+        ``ovf_split`` (octets) enables the THREE-level layout: overflow
+        rows keep only their first ``ovf_split`` octets; deeper cells chain
+        into a second overflow table via a pointer packed in base slot 1's
+        aux field. Needs ``k0 >= 2``; a no-op when no row exceeds the
+        split. See the ``StarGrid.ovf2_data`` field note for the measured
+        rationale."""
+        if ovf_split is not None and int(ovf_split) < 1:
+            raise ValueError(f"ovf_split must be >= 1 octet, got {ovf_split}")
         k0 = self.k0 if k0 is None else int(k0)
         counts = self.counts.astype(np.int64)
         c = self.n_cells
@@ -1082,6 +1130,8 @@ class CompactStarGrid:
         # lookup math needs no ragged tail.
         k1 = max(0, k_max - k0e)
         k1 = -(-k1 // 8) * 8 if k1 else 0
+        ovf2 = None
+        ovf2_octets = None
         if k1 == 0:
             ovf = np.zeros((1, 1, _ROW), np.float64)
             ovf[..., 0:3] = _SENTINEL_POS
@@ -1108,16 +1158,46 @@ class CompactStarGrid:
             ovf_octets = np.zeros(n_ovf + 1, np.int32)
             ovf_octets[1:] = -(-(counts[ovf_cells] - k0e) // 8)
 
+            if (ovf_split is not None and k0e >= 2
+                    and k1 > int(ovf_split) * 8):
+                s8 = int(ovf_split) * 8  # tier-1 slots
+                deep = np.flatnonzero(ovf_octets > int(ovf_split))
+                n2 = len(deep)
+                if n2 + 1 >= (1 << 24):
+                    raise ValueError(
+                        f"{n2} tier-2 overflow rows cannot be pointer-"
+                        f"encoded in float32 — raise k0 or ovf_split"
+                    )
+                ovf2 = np.zeros((n2 + 1, k1 - s8, _ROW), np.float64)
+                ovf2[..., 0:3] = _SENTINEL_POS
+                ovf2[..., 3] = _SENTINEL_MAG
+                ovf2[1:] = ovf[deep, s8:]
+                ovf2_octets = np.zeros(n2 + 1, np.int32)
+                ovf2_octets[1:] = ovf_octets[deep] - int(ovf_split)
+                # Tier-2 pointer: overflow row -> tier-2 row, then packed
+                # per CELL into base slot 1's aux (0 = no chain).
+                t2_of_row = np.zeros(n_ovf + 1, np.int64)
+                t2_of_row[deep] = 1 + np.arange(n2)
+                base[:, 1, 7] = t2_of_row[row_of_cell]
+                ovf = np.ascontiguousarray(ovf[:, :s8])
+                ovf_octets = np.minimum(ovf_octets, np.int32(ovf_split))
+
         base = base.reshape(base.shape[0], -1)
         ovf = ovf.reshape(ovf.shape[0], -1)
+        if ovf2 is not None:
+            ovf2 = ovf2.reshape(ovf2.shape[0], -1)
         if device:
             dt = jnp.dtype(dtype)
             cd, od = jnp.asarray(base, dt), jnp.asarray(ovf, dt)
             oo = jnp.asarray(ovf_octets)
+            od2 = None if ovf2 is None else jnp.asarray(ovf2, dt)
+            oo2 = None if ovf2 is None else jnp.asarray(ovf2_octets)
         else:
             dt = np.dtype(dtype)
             cd, od = base.astype(dt), ovf.astype(dt)
             oo = ovf_octets
+            od2 = None if ovf2 is None else ovf2.astype(dt)
+            oo2 = ovf2_octets
         return StarGrid(
             cell_data=cd,
             ovf_data=od,
@@ -1127,6 +1207,8 @@ class CompactStarGrid:
             n_stars=int(self.n_stars),
             psf_width=float(self.psf_width),
             radius=float(self.radius),
+            ovf2_data=od2,
+            ovf2_octets=oo2,
         )
 
 
@@ -1253,6 +1335,7 @@ def build_star_grid(
     radius: Optional[float] = None,
     dtype=jnp.float32,
     device: bool = True,
+    ovf_split: Optional[int] = None,
 ) -> StarGrid:
     """Build and densify in one step (see :func:`build_star_grid_compact`).
 
@@ -1263,7 +1346,7 @@ def build_star_grid(
     compact = build_star_grid_compact(
         catalog, cell_size=cell_size, k0=k0, psf_width=psf_width, radius=radius
     )
-    return compact.to_grid(dtype=dtype, device=device)
+    return compact.to_grid(dtype=dtype, device=device, ovf_split=ovf_split)
 
 
 def save_star_grid(grid, path: str) -> str:
@@ -1301,8 +1384,12 @@ def _dense_to_compact(grid: StarGrid) -> CompactStarGrid:
     ovf = ovf.reshape(ovf.shape[0], -1, _ROW)
     c, k0 = base.shape[0], base.shape[1]
     ptr = base[:, 0, 7].astype(np.int64)
+    ptr2 = (base[:, 1, 7].astype(np.int64)
+            if grid.has_ovf2 and k0 >= 2 else np.zeros(c, np.int64))
     base = base.copy()
     base[:, 0, 7] = 0.0
+    if k0 >= 2:
+        base[:, 1, 7] = 0.0
 
     bvalid = base[..., 3] < _SENTINEL_MAG / 2  # (C, K0)
     counts = bvalid.sum(axis=1).astype(np.int64)
@@ -1324,6 +1411,25 @@ def _dense_to_compact(grid: StarGrid) -> CompactStarGrid:
                   if len(ocells) else np.zeros(0, np.int64))
         )
         counts = counts + ocounts
+    if grid.has_ovf2:
+        # Tier-2 chain: slots continue after the (full, by construction)
+        # tier-1 row of the same cell.
+        ovf2 = np.asarray(grid.ovf2_data, np.float64)
+        ovf2 = ovf2.reshape(ovf2.shape[0], -1, _ROW)
+        o2valid = ovf2[..., 3] < _SENTINEL_MAG / 2
+        o2counts_row = o2valid.sum(axis=1).astype(np.int64)
+        cells2 = np.flatnonzero(ptr2 > 0)
+        oc2 = np.zeros(c, np.int64)
+        oc2[cells2] = o2counts_row[ptr2[cells2]]
+        rows.append(ovf2[ptr2[cells2]][o2valid[ptr2[cells2]]])
+        cell_of.append(np.repeat(cells2, oc2[cells2]))
+        t1_slots = ovf.shape[1]
+        slot_of.append(
+            k0 + t1_slots
+            + (np.concatenate([np.arange(k) for k in oc2[cells2]])
+               if len(cells2) else np.zeros(0, np.int64))
+        )
+        counts = counts + oc2
     rows = np.concatenate(rows)
     cell_of = np.concatenate(cell_of)
     slot_of = np.concatenate(slot_of)
@@ -1373,5 +1479,10 @@ def load_star_grid_compact(path: str) -> CompactStarGrid:
 
 
 def load_star_grid(path: str, dtype=jnp.float32,
-                   k0: Optional[int] = None) -> StarGrid:
-    return load_star_grid_compact(path).to_grid(dtype=dtype, k0=k0)
+                   k0: Optional[int] = None,
+                   ovf_split: Optional[int] = None) -> StarGrid:
+    """Load the CSR artifact and materialise device tables. ``k0`` and
+    ``ovf_split`` override the table layout at load time (the on-disk form
+    is layout-free, so no rebuild is needed to re-tier)."""
+    return load_star_grid_compact(path).to_grid(dtype=dtype, k0=k0,
+                                                ovf_split=ovf_split)

@@ -36,6 +36,14 @@ def timeit(name, fn, *args):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ovf-split", type=int, default=None,
+                    help="tier-1 octets for the two-tier overflow layout")
+    ap.add_argument("--k0", type=int, default=None)
+    args = ap.parse_args()
+
     from blackstar_tpu.config import load_config
     from blackstar_tpu.render import render, run_march
     from blackstar_tpu.camera import generate_ray_components
@@ -49,9 +57,11 @@ def main():
     cfg = load_config(os.path.join(here, "scenes", "default.yaml"))
     static = cfg.static()
     params = cfg.params()
-    grid = load_star_grid(os.path.join(here, "stars.grid.npz"))
+    grid = load_star_grid(os.path.join(here, "stars.grid.npz"),
+                          k0=args.k0, ovf_split=args.ovf_split)
     print(f"{grid.n_stars} stars, K0={grid.pad_k}, ovf rows {grid.ovf_data.shape}"
-          f", backend {jax.default_backend()}")
+          + (f", ovf2 rows {grid.ovf2_data.shape}" if grid.has_ovf2 else "")
+          + f", backend {jax.default_backend()}")
 
     rw, rh = static.render_width, static.render_height
     n = rw * rh
@@ -105,6 +115,9 @@ def main():
     t_base = timeit("stars: gather+base math only", stars_fn(set()),
                     vel, escaped, grid)
     t_ovf = timeit("stars: +ovf", stars_fn({"ovf"}), vel, escaped, grid)
+    if grid.has_ovf2:
+        timeit("stars: +ovf+ovf2", stars_fn({"ovf", "ovf2"}),
+               vel, escaped, grid)
     t_inv = timeit("stars: +invalid", stars_fn({"invalid"}), vel, escaped, grid)
 
     # Row-band schedules (p adjacent rows share each group's gather).

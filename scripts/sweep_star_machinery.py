@@ -130,6 +130,21 @@ def main():
         grouped("row-quad, ovf_batch 256", grid, row_pitch=rw, row_bands=4,
                 chunk=1 << 21, ovf_batch_blocks=256)
 
+    # --- 1c. two-tier overflow split (load-time rematerialisation) -----
+    # Measured schedule stats on the default 1080p framing (CPU-exact,
+    # scripts/star_schedule_stats.py logic): tier-2 flags fall from 23% of
+    # group blocks to 13.5/7.6/3.4% at split 2/3/4, and the gathered
+    # overflow bytes halve at split 4 (DESIGN.md §3).
+    if not args.quick:
+        for split in (2, 3, 4):
+            gs = load_star_grid(grid_path, ovf_split=split)
+            print(f"ovf_split={split}: ovf {gs.ovf_data.shape} "
+                  f"ovf2 {gs.ovf2_data.shape}", flush=True)
+            grouped(f"ovf_split={split}, chunk 2^17", gs)
+            grouped(f"ovf_split={split}, row-quad, chunk 2^21", gs,
+                    row_pitch=rw, row_bands=4, chunk=1 << 21)
+            del gs
+
     # --- 2. k0 rematerialisation --------------------------------------
     if args.k0_sweep:
         del grid
@@ -142,6 +157,12 @@ def main():
             grouped(f"k0={k0}, row-quad, chunk 2^21", g2, row_pitch=rw,
                     row_bands=4, chunk=1 << 21)
             del g2
+        # Combined best-guess: moderate k0 + split + row-quad.
+        for k0, split in ((16, 2), (32, 4), (48, 4)):
+            g3 = load_star_grid(grid_path, k0=k0, ovf_split=split)
+            grouped(f"k0={k0}, ovf_split={split}, row-quad, 2^21", g3,
+                    row_pitch=rw, row_bands=4, chunk=1 << 21)
+            del g3
 
 
 if __name__ == "__main__":

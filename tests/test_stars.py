@@ -247,6 +247,146 @@ class TestOverflow:
         np.testing.assert_allclose(a, b, atol=1e-12)
 
 
+class TestOvfSplit:
+    """The optional THIRD level (``to_grid(ovf_split=...)``): overflow rows
+    keep their first ``ovf_split`` octets; deeper cells chain into a second
+    overflow table via base slot 1's aux pointer. Results must be identical
+    to the single-tier layout on every lookup path — the split only changes
+    gathered row widths."""
+
+    def _dense_catalog(self, n=120, seed=99):
+        rng = np.random.default_rng(seed)
+        base = np.array([0.3, -0.5, 0.81])
+        pos = base + 2e-4 * rng.normal(size=(n, 3))
+        pos /= np.linalg.norm(pos, axis=-1, keepdims=True)
+        return Catalog(
+            pos=pos,
+            mag=rng.integers(900, 1400, n).astype(np.int32),
+            hue=np.full(n, 0.094),
+            sat=np.full(n, 0.29),
+        )
+
+    def _grids(self, cat, ovf_split=2, k0=4):
+        kw = dict(dtype=jnp.float64, radius=0.006, cell_size=0.008, k0=k0)
+        ref = build_star_grid(cat, **kw)
+        split = build_star_grid(cat, ovf_split=ovf_split, **kw)
+        assert ref.has_overflow and not ref.has_ovf2
+        assert split.has_ovf2
+        return ref, split
+
+    def _dirs(self, cat, n, seed):
+        rng = np.random.default_rng(seed)
+        d = cat.pos[rng.integers(0, cat.n_stars, n)]
+        d = d + 3e-4 * rng.normal(size=(n, 3))
+        d[:: 7] = rng.normal(size=d[::7].shape)  # some misses/divergents
+        return jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    def test_metadata_and_tables(self):
+        ref, split = self._grids(self._dense_catalog())
+        octs1 = np.asarray(split.ovf_octets)
+        octs2 = np.asarray(split.ovf2_octets)
+        assert octs1.max() <= 2 and octs1[0] == 0 and octs2[0] == 0
+        assert split.ovf_data.shape[1] == 2 * 8 * 8
+        # Tier-1 ∥ tier-2 reassembles the reference overflow rows.
+        r = np.asarray(ref.ovf_data)
+        t1 = np.asarray(split.ovf_data)
+        np.testing.assert_array_equal(t1, r[:, : t1.shape[1]])
+        base = np.asarray(split.cell_data)
+        ptr1 = base[:, 7].astype(np.int64)
+        ptr2 = base[:, 15].astype(np.int64)
+        deep = ptr2 > 0
+        assert deep.any() and (ptr1[deep] > 0).all()
+        t2 = np.asarray(split.ovf2_data)
+        np.testing.assert_array_equal(
+            t2[ptr2[deep]], r[ptr1[deep], t1.shape[1]:]
+        )
+        # Used-octet bookkeeping is conserved across the split.
+        ro = np.asarray(ref.ovf_octets)
+        np.testing.assert_array_equal(
+            octs1[ptr1[deep]] + octs2[ptr2[deep]], ro[ptr1[deep]]
+        )
+
+    def test_all_lookup_paths_match(self):
+        cat = self._dense_catalog()
+        ref, split = self._grids(cat)
+        dirs = self._dirs(cat, 1024, seed=101)
+        args = (jnp.float64(0.7), jnp.float64(0.9))
+        want = np.asarray(ref.lookup(dirs, *args))
+        np.testing.assert_allclose(
+            np.asarray(split.lookup(dirs, *args)), want, atol=1e-12
+        )
+        np.testing.assert_allclose(  # capacity exceeded -> guarded slow path
+            np.asarray(split.lookup(dirs, *args, ovf_capacity=0.01)),
+            want, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(split.lookup_grouped(dirs, *args)), want, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(split.lookup_grouped(dirs, *args, chunk=256)),
+            want, atol=1e-12,
+        )
+
+    def test_row_band_and_differentiable(self):
+        import jax
+
+        cat = self._dense_catalog()
+        ref, split = self._grids(cat)
+        h, w = 8, 64
+        rng = np.random.default_rng(102)
+        c = cat.pos[3]
+        u = np.linalg.svd(c[None])[2][1:]
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        dirs = (c[None, None] + 2e-4 * (xx - w / 2)[..., None] * u[0]
+                + 2e-4 * (yy - h / 2)[..., None] * u[1]).reshape(-1, 3)
+        dirs += 2e-5 * rng.normal(size=dirs.shape)
+        dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+        args = (jnp.float64(0.7), jnp.float64(0.9))
+        want = np.asarray(ref.lookup(dirs, *args))
+        got = np.asarray(
+            split.lookup_grouped(dirs, *args, row_pitch=w, row_bands=2)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        got4 = np.asarray(
+            split.lookup_grouped(dirs, *args, row_pitch=w, row_bands=4)
+        )
+        np.testing.assert_allclose(got4, want, atol=1e-12)
+
+        def loss(i, s, g):
+            return jnp.sum(g.lookup_grouped(dirs, i, s,
+                                            differentiable=True) ** 2)
+
+        gi1, gs1 = jax.grad(loss, argnums=(0, 1))(*args, ref)
+        gi2, gs2 = jax.grad(loss, argnums=(0, 1))(*args, split)
+        np.testing.assert_allclose(float(gi2), float(gi1), rtol=1e-10)
+        np.testing.assert_allclose(float(gs2), float(gs1), rtol=1e-10)
+
+    def test_roundtrip_and_noop_split(self, tmp_path):
+        cat = self._dense_catalog(n=60, seed=103)
+        ref, split = self._grids(cat)
+        # A dense split grid serialises back to the SAME compact artifact.
+        path = save_star_grid(split, str(tmp_path / "split.grid"))
+        loaded = load_star_grid(path, dtype=jnp.float64, ovf_split=2)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.cell_data), np.asarray(split.cell_data)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loaded.ovf_data), np.asarray(split.ovf_data)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loaded.ovf2_data), np.asarray(split.ovf2_data)
+        )
+        # Loading WITHOUT the split reproduces the single-tier layout.
+        single = load_star_grid(path, dtype=jnp.float64)
+        assert not single.has_ovf2
+        np.testing.assert_array_equal(
+            np.asarray(single.ovf_data), np.asarray(ref.ovf_data)
+        )
+        # A split at/above the max octet count is a no-op.
+        wide = load_star_grid(path, dtype=jnp.float64, ovf_split=1000)
+        assert not wide.has_ovf2
+
+
 class TestGroupedLookup:
     """lookup_grouped: one gather per 8-ray group; per-ray validity against
     the build margin; block-compacted exact fallbacks. Must equal the
