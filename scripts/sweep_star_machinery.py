@@ -48,6 +48,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k0-sweep", action="store_true")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--decide", action="store_true",
+                    help="only the production-default candidates, best "
+                    "first — for flaky-tunnel sessions where the most "
+                    "informative timings must land first")
     args = ap.parse_args()
 
     from blackstar_tpu.config import load_config
@@ -93,6 +97,28 @@ def main():
     grid = load_star_grid(grid_path)
     print(f"{grid.n_stars} stars, K0={grid.pad_k}, "
           f"ovf {grid.ovf_data.shape}, base {grid.cell_data.shape}", flush=True)
+
+    if args.decide:
+        # Decision set for the production defaults (ROW_BANDS / chunk /
+        # artifact k0+ovf_split), most informative first.
+        grouped("BASELINE: row-pair, chunk 2^17 (production)", grid,
+                row_pitch=rw)
+        grouped("row-quad, chunk 2^21", grid, row_pitch=rw, row_bands=4,
+                chunk=1 << 21)
+        g4 = load_star_grid(grid_path, ovf_split=4)
+        grouped("row-quad, 2^21, ovf_split=4", g4, row_pitch=rw,
+                row_bands=4, chunk=1 << 21)
+        grouped("row-quad, 2^21, ovf_split=4, ovf_batch 128", g4,
+                row_pitch=rw, row_bands=4, chunk=1 << 21,
+                ovf_batch_blocks=128)
+        grouped("row-pair, 2^21, ovf_split=4", g4, row_pitch=rw,
+                chunk=1 << 21)
+        del g4
+        g162 = load_star_grid(grid_path, k0=16, ovf_split=2)
+        grouped("row-quad, 2^21, k0=16, ovf_split=2", g162, row_pitch=rw,
+                row_bands=4, chunk=1 << 21)
+        del g162
+        return
 
     # --- 1. chunk size (fixed-cost amplification across lax.map chunks) ---
     grouped("chunk 2^17 (production default)", grid)
