@@ -155,6 +155,11 @@ def main():
                 chunk=1 << 21, ovf_batch_blocks=128)
         grouped("row-quad, ovf_batch 256", grid, row_pitch=rw, row_bands=4,
                 chunk=1 << 21, ovf_batch_blocks=256)
+        # Invalid-fallback billing granularity: at 4×4 a ray_block-32
+        # invalid block bills 32 recomputed rays per flagged block (2
+        # groups); ray_block 16 halves the billing to one 16-ray group.
+        grouped("row-quad, ray_block 16", grid, row_pitch=rw, row_bands=4,
+                chunk=1 << 21, ray_block=16)
 
     # --- 1c. two-tier overflow split (load-time rematerialisation) -----
     # Measured schedule stats on the default 1080p framing (CPU-exact,
