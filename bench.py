@@ -20,7 +20,11 @@ process under a hard timeout: a hang or crash becomes a retryable failure,
 and a new process is the strongest possible backend reset.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "stars",
-"march_only_mrays", "ms_per_frame"}.
+"march_only_mrays", "ms_per_frame"}. Before any attempt, a ~90 s child
+liveness probe fails the whole bench in ~3 minutes when the tunnel is dead
+instead of burning full attempt timeouts; if the full-pipeline stage dies
+after the march stage finished, the march-only partial line (tagged
+"partial": true) is emitted instead of nothing.
 """
 
 from __future__ import annotations
@@ -108,9 +112,26 @@ def measure() -> dict:
         return min(times)
 
     n_rays = static.render_width * static.render_height
-    t_full = timed(full, params, star_grid)
-    t_march = timed(march, params, None)
 
+    # March first (small compile, no star grid): if the tunnel dies during
+    # the much heavier full-pipeline stage, the march number has already
+    # been emitted as a partial line the parent can fall back on.
+    t_march = timed(march, params, None)
+    march_mrays = round(n_rays / t_march / 1e6, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "march_only_throughput_default_1080p",
+                "value": march_mrays,
+                "unit": "Mrays/s",
+                "vs_baseline": round(march_mrays / NORTH_STAR, 4),
+                "partial": True,
+            }
+        ),
+        flush=True,
+    )
+
+    t_full = timed(full, params, star_grid)
     mrays = n_rays / t_full / 1e6
     return {
         "metric": "full_pipeline_throughput_default_1080p",
@@ -118,12 +139,66 @@ def measure() -> dict:
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR, 4),
         "stars": star_grid.n_stars,
-        "march_only_mrays": round(n_rays / t_march / 1e6, 3),
+        "march_only_mrays": march_mrays,
         "ms_per_frame": round(t_full * 1e3, 3),
     }
 
 
-ATTEMPT_TIMEOUT_S = 1200  # covers cold star-grid build + first compile
+# Cold path covers the star-grid build + first compile; warm path (grid
+# artifact + .jax_cache already on disk, the normal state of this box)
+# finishes in well under 10 minutes, so a hang is detected much sooner.
+ATTEMPT_TIMEOUT_COLD_S = 1200
+ATTEMPT_TIMEOUT_WARM_S = 600
+PROBE_TIMEOUT_S = 90
+
+
+def _attempt_timeout() -> int:
+    grid_warm = os.path.exists(os.path.join(HERE, "stars.grid.npz"))
+    cache = os.path.join(HERE, ".jax_cache")
+    cache_warm = os.path.isdir(cache) and bool(os.listdir(cache))
+    return ATTEMPT_TIMEOUT_WARM_S if (grid_warm and cache_warm) else ATTEMPT_TIMEOUT_COLD_S
+
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "print(float(jnp.ones((8, 128)).sum()), jax.devices()[0].platform)"
+)
+
+
+def _backend_alive() -> bool:
+    """Cheap liveness probe: a tiny op in a child process under a short
+    timeout. A dead axon tunnel hangs inside backend init (not interruptible
+    in-process), so the probe must be a separate process. ~1 s when the
+    backend is healthy (CPU or TPU), PROBE_TIMEOUT_S when it is hung."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=PROBE_TIMEOUT_S,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _best_json_line(raw: bytes | None) -> str | None:
+    """Last parseable JSON line of a child's stdout (final result if it got
+    there, otherwise the most recent partial)."""
+    if not raw:
+        return None
+    for line in reversed(raw.decode(errors="replace").strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            json.loads(line)
+        except ValueError:
+            continue
+        return line
+    return None
 
 
 def main() -> None:
@@ -137,7 +212,25 @@ def main() -> None:
 
     import subprocess
 
+    # Fail fast on a dead tunnel: two probes (~3 min worst case) instead of
+    # burning a full attempt timeout discovering the backend is hung.
+    for probe in range(2):
+        if _backend_alive():
+            break
+        print(
+            f"bench liveness probe {probe + 1}/2 failed "
+            f"(no tiny-op completion in {PROBE_TIMEOUT_S}s)",
+            file=sys.stderr,
+        )
+    else:
+        raise SystemExit(
+            "bench aborted before any attempt: backend liveness probe failed "
+            "twice — the TPU tunnel is down (a trivial op hangs)."
+        )
+
+    attempt_timeout = _attempt_timeout()
     last_err = None
+    partial: str | None = None
     timeouts = 0
     for attempt in range(ATTEMPTS):
         try:
@@ -145,25 +238,22 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__)],
                 env={**os.environ, "_BENCH_CHILD": "1"},
                 stdout=subprocess.PIPE,
-                timeout=ATTEMPT_TIMEOUT_S,
+                timeout=attempt_timeout,
             )
-            if proc.returncode == 0 and proc.stdout.strip():
-                line = proc.stdout.decode().strip().splitlines()[-1]
-                json.loads(line)  # must be the JSON result line
+            line = _best_json_line(proc.stdout)
+            if proc.returncode == 0 and line is not None:
                 print(line)
                 return
+            partial = line or partial
             last_err = f"child exited rc={proc.returncode}"
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             timeouts += 1
-            last_err = (
-                f"child exceeded {ATTEMPT_TIMEOUT_S}s (hung TPU tunnel?)"
-            )
+            partial = _best_json_line(e.stdout) or partial
+            last_err = f"child exceeded {attempt_timeout}s (hung TPU tunnel?)"
             if timeouts >= 2:
-                # Two full-length hangs = the tunnel is dead, not flaky;
-                # don't burn another ATTEMPT_TIMEOUT_S of driver time.
-                raise SystemExit(
-                    f"bench aborted: {timeouts} consecutive hangs ({last_err})"
-                )
+                # Two full-length hangs = the tunnel died mid-run, not a
+                # flake; don't burn another attempt_timeout of driver time.
+                break
         except Exception as e:  # noqa: BLE001 — retry any fault
             last_err = repr(e)
         print(
@@ -172,6 +262,15 @@ def main() -> None:
             file=sys.stderr,
         )
         time.sleep(5.0 * (attempt + 1))
+    if partial is not None:
+        # Persist whatever stage finished (e.g. the march-only line) rather
+        # than dying with nothing after a mid-run tunnel death.
+        print(
+            f"bench emitting PARTIAL result after failure ({last_err})",
+            file=sys.stderr,
+        )
+        print(partial)
+        return
     raise SystemExit(f"bench failed after {ATTEMPTS} attempts: {last_err}")
 
 
