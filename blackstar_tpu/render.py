@@ -87,13 +87,20 @@ def shade(res, params: SceneParams, star_grid, dt,
     return acc[:, :3] + bottom * (1.0 - acc[:, 3:4])
 
 
+# Below this many rays the grouped lookup's block machinery costs more than
+# the per-ray path saves. Module-level so correctness gates (e.g.
+# __graft_entry__.dryrun_multichip) can lower it to exercise the grouped
+# path at tiny dryrun sizes — the schedule choice never changes results.
+GROUPED_MIN_RAYS = 1 << 15
+
+
 def _grouped_eligible(star_grid, static: StaticConfig, n_rays: int) -> bool:
     """Use the grouped star lookup when the grid carries a group margin and
     the frame's expected 8-pixel group spread fits inside it (a *schedule*
     choice only — per-ray validity keeps results exact even if the fitted
     fov drifts past the hint)."""
     margin = getattr(star_grid, "margin", 0.0)
-    if margin <= 0.0 or static.fov_hint <= 0.0 or n_rays < (1 << 15):
+    if margin <= 0.0 or static.fov_hint <= 0.0 or n_rays < GROUPED_MIN_RAYS:
         return False
     from blackstar_tpu.stars.grid import GROUP
 
@@ -216,9 +223,9 @@ def render(
     if with_stats:
         from blackstar_tpu.geodesic import HORIZON
 
-        # `steps`: executed count on the XLA while_loop path and the Pallas
-        # forward (max over tiles, unroll-granular); the differentiable
-        # Pallas path (march_diff) reports the static cap.
+        # `steps`: executed count on every path — the XLA while_loop, the
+        # Pallas forward, and the differentiable Pallas march (max over
+        # tiles, unroll-granular; threaded through the custom_vjp).
         stats = RenderStats(
             steps=res.steps,
             escaped_frac=jnp.mean((res.status == ESCAPED).astype(jnp.float32)),

@@ -69,3 +69,34 @@ def test_march_diff_gradients_match_scan_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=name
         )
+
+
+def test_march_diff_reports_executed_steps():
+    """VERDICT r2 weak #8: the differentiable path must report the forward
+    kernel's executed step count, not the static cap."""
+    from blackstar_tpu.camera import generate_rays
+    from blackstar_tpu.ops.march_pallas import march_pallas
+    from blackstar_tpu.render import safe_distance
+
+    cfg = _cfg()
+    params, static = cfg.params(), cfg.static()
+    # A generous cap with a large step: every ray terminates well before it.
+    max_steps, step_size = 256, 2.0
+    pos0, vel0 = generate_rays(params.camera, static.render_width,
+                               static.render_height, dtype=jnp.float32)
+    kw = dict(mass=params.mass, inner=params.disk.inner,
+              outer=params.disk.outer, opacity=params.disk.opacity,
+              disk_rgb=hsi_to_rgb(params.disk.color_hsi),
+              safe=safe_distance(params, jnp.float32))
+    res_diff = march_diff(
+        pos0, vel0, step_size=step_size, max_steps=max_steps, disk_on=True,
+        interpret=True, **kw,
+    )
+    res_fwd = march_pallas(
+        pos0, vel0, step_size=step_size, max_steps=max_steps,
+        mass=kw["mass"], safe_distance=kw["safe"], disk_on=True,
+        disk_inner=kw["inner"], disk_outer=kw["outer"],
+        disk_opacity=kw["opacity"], disk_rgb=kw["disk_rgb"], interpret=True,
+    )
+    assert int(res_diff.steps) == int(res_fwd.steps)
+    assert 0 < int(res_diff.steps) < max_steps
