@@ -28,8 +28,18 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     from blackstar_tpu.stars import artifact
 
     p = parser or argparse.ArgumentParser(prog="blackstar generate-grid")
-    p.add_argument("catalog", help="PPM star catalogue file")
+    p.add_argument(
+        "catalog",
+        help="star catalogue: a PPM binary file, or an existing reference "
+        "stars.kdt (pass --kdt) to migrate a serialized tree directly",
+    )
     p.add_argument("output", help="output star-grid path (.npz)")
+    p.add_argument(
+        "--kdt",
+        action="store_true",
+        help="parse CATALOG as a reference stars.kdt (cereal-encoded k-d "
+        "tree, StarMap.hs:82-88) instead of a PPM catalogue",
+    )
     p.add_argument("-f", "--force", action="store_true", help="overwrite without asking")
     p.add_argument(
         "--cell-size",
@@ -65,7 +75,12 @@ def main(argv=None) -> int:
         return 1
 
     print(f"Reading {args.catalog}...")
-    catalog = read_catalog(args.catalog)
+    if args.kdt:
+        from blackstar_tpu.stars.kdt import read_kdt
+
+        catalog = read_kdt(args.catalog)
+    else:
+        catalog = read_catalog(args.catalog)
     print(f"Parsed {catalog.n_stars} stars.")
 
     with time_action("Building the star grid"):
