@@ -52,6 +52,10 @@ from blackstar_tpu.ops.march_vjp import (
 
 ADJ_BLOCK_ROWS = 16  # 2048 rays/tile (best measured; ~2.5 MB VMEM scratch)
 ADJ_SEG_LEN = 16  # steps per checkpoint segment
+# Store RK4 stage positions during the segment replay (+9 planes ≈ +1.2 MB
+# VMEM at the default tile) so the VJP sweep skips its stage recompute.
+# False until the TPU sweep (scripts/sweep_adjoint.py) records the winner.
+ADJ_STORE_STAGES = False
 # Measured v5e @1080p, 601-step cap: ~120 ms (17.3 Mrays/s backward) with
 # segment-deferred disk shading (~125 ms inline) — the deferral win is
 # smaller than the forward kernel's because the VJP is dominated by the
@@ -83,11 +87,12 @@ def _adjoint_kernel(
     gs_ref,  # VMEM out (1, 128): per-tile scalar partials
     ck_px, ck_py, ck_pz, ck_vx, ck_vy, ck_vz, ck_aa, ck_st,  # scratch ckpts
     sb_px, sb_py, sb_pz, sb_vx, sb_vy, sb_vz, sb_aa, sb_st,  # scratch segbuf
-    *,
+    *sb_q,  # 9 scratch stage buffers (q2/q3/q4 xyz) iff store_stages
     disk_on: bool,
     seg_len: int,
     n_seg_max: int,
     defer_shade: bool,
+    store_stages: bool,
 ):
     h = scal_ref[_S_H]
     mass = scal_ref[_S_MASS]
@@ -208,7 +213,9 @@ def _adjoint_kernel(
         # the alpha stays segment-constant through the replay (crossings are
         # recorded, not applied), so the sb_aa stores are provisional; the
         # fix-up cond below rewrites them with the true evolution iff any
-        # lane crossed in this segment.
+        # lane crossed in this segment. With ``store_stages`` the RK4 stage
+        # positions are stored too, so the VJP sweep below runs zero primal
+        # RK4 recomputation.
         stash = []
         for j in range(seg_len):
             sb_px[j] = p.x
@@ -220,15 +227,22 @@ def _adjoint_kernel(
             sb_aa[j] = aa
             sb_st[j] = status
             valid = seg * seg_len + j < cap
+            out = step_primal(
+                p, v, aa, status, consts, valid,
+                disk_on=True if defer else disk_on,
+                defer_shade=defer,
+                return_stages=store_stages,
+            )
+            if store_stages:
+                *out, (q2, q3, q4) = out
+                for b, stage in zip((sb_q[0:3], sb_q[3:6], sb_q[6:9]),
+                                    (q2, q3, q4)):
+                    b[0][j], b[1][j], b[2][j] = stage.x, stage.y, stage.z
             if defer:
-                p, v, aa, status, st = step_primal(
-                    p, v, aa, status, consts, valid, disk_on=True,
-                    defer_shade=True,
-                )
+                p, v, aa, status, st = out
                 stash.append(st)
             else:
-                p, v, aa, status = step_primal(p, v, aa, status, consts, valid,
-                                               disk_on=disk_on)
+                p, v, aa, status = out
         if defer:
             any_c = stash[0][0]
             for st in stash[1:]:
@@ -252,15 +266,30 @@ def _adjoint_kernel(
             rgb0_bar=r0b, rgb1_bar=r1b, rgb2_bar=r2b,
         )
 
+        # The step's frozen post-state IS the next step's pre-state (and the
+        # segment's last post-state is the replay's final p), so the VJP
+        # sweep never re-runs the primal RK4 — frozen-lane divergence from
+        # the true post-state is masked inside step_vjp (see its docstring).
+        p_end = p
+
         def run_vjp(with_disk):
             def run(ca):
                 for j in range(seg_len - 1, -1, -1):
                     pre_p = Dot3(sb_px[j], sb_py[j], sb_pz[j])
                     pre_v = Dot3(sb_vx[j], sb_vy[j], sb_vz[j])
+                    post_p = (
+                        Dot3(sb_px[j + 1], sb_py[j + 1], sb_pz[j + 1])
+                        if j + 1 < seg_len else p_end
+                    )
+                    stages = (
+                        tuple(Dot3(sb_q[k][j], sb_q[k + 1][j], sb_q[k + 2][j])
+                              for k in (0, 3, 6))
+                        if store_stages else None
+                    )
                     valid = seg * seg_len + j < cap
                     ca = step_vjp(
                         pre_p, pre_v, sb_aa[j], sb_st[j], consts, valid, ca,
-                        disk_on=with_disk,
+                        disk_on=with_disk, post_p=post_p, stages=stages,
                     )
                 return ca
             return run
@@ -344,6 +373,7 @@ def march_adjoint_pallas(
     block_rows: int = ADJ_BLOCK_ROWS,
     seg_len: int = ADJ_SEG_LEN,
     defer_shade: bool = True,
+    store_stages: bool = ADJ_STORE_STAGES,
     interpret: bool = False,
 ):
     """Gradients of the march outputs w.r.t. every differentiable input.
@@ -354,6 +384,10 @@ def march_adjoint_pallas(
 
     ``defer_shade`` (bitwise-identical, verified on hardware) skips the
     blend math/VJP for crossing-free segments behind per-segment conds.
+    ``store_stages`` (bitwise-identical) trades +9 segment-buffer planes of
+    VMEM for skipping the RK4 stage recompute inside the VJP sweep — with
+    it and the stored post-states the reverse sweep runs no primal RK4 at
+    all (the replay's is the only one).
     """
     f32 = jnp.float32
     if isinstance(vel0, (tuple, list)):
@@ -420,13 +454,15 @@ def march_adjoint_pallas(
         functools.partial(
             _adjoint_kernel, disk_on=disk_on, seg_len=seg_len,
             n_seg_max=n_seg_max, defer_shade=defer_shade,
+            store_stages=store_stages,
         ),
         grid=(grid,),
         in_specs=[smem_spec] * 3 + [vmem_spec] * 10,
         out_specs=[vmem_spec] * 3 + [row_spec],
         out_shape=[plane_shape] * 3 + [jax.ShapeDtypeStruct((grid, 8, LANES), f32)],
         scratch_shapes=[ck() for _ in range(7)] + [ck(jnp.int32)]
-        + [sb() for _ in range(7)] + [sb(jnp.int32)],
+        + [sb() for _ in range(7)] + [sb(jnp.int32)]
+        + ([sb() for _ in range(9)] if store_stages else []),
         interpret=interpret,
     )(scal, cap, p0, *planes)
 

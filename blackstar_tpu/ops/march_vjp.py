@@ -67,8 +67,14 @@ def _accel_vjp(p: Dot3, coef, abar: Dot3) -> Tuple[Dot3, jnp.ndarray]:
     return pbar, coef_bar
 
 
-def rk4_fwd(p: Dot3, v: Dot3, h, coef) -> Tuple[Dot3, Dot3]:
-    """Forward RK4 step (identical tableau to geodesic.rk4_step)."""
+def rk4_fwd(p: Dot3, v: Dot3, h, coef, *, with_stages: bool = False):
+    """Forward RK4 step (identical tableau to geodesic.rk4_step).
+
+    ``with_stages=True`` additionally returns the stage positions
+    ``(q2, q3, q4)`` — the exact residuals :func:`rk4_vjp` needs, letting a
+    caller that stores them (the Pallas adjoint's segment replay) skip the
+    VJP's stage recomputation.
+    """
     h2_ = h * 0.5
     k1v = _accel(p, coef)
     q2 = p + v.scale(h2_)
@@ -83,28 +89,35 @@ def rk4_fwd(p: Dot3, v: Dot3, h, coef) -> Tuple[Dot3, Dot3]:
     s = h / 6.0
     new_p = p + (v + (u2 + u3).scale(2.0) + u4).scale(s)
     new_v = v + (k1v + (k2v + k3v).scale(2.0) + k4v).scale(s)
+    if with_stages:
+        return new_p, new_v, (q2, q3, q4)
     return new_p, new_v
 
 
 def rk4_vjp(
-    p: Dot3, v: Dot3, h, coef, pbar_out: Dot3, vbar_out: Dot3
+    p: Dot3, v: Dot3, h, coef, pbar_out: Dot3, vbar_out: Dot3, stages=None
 ) -> Tuple[Dot3, Dot3, jnp.ndarray]:
     """VJP of one RK4 step: (p̄', v̄') → (p̄, v̄, c̄oef).
 
-    Recomputes the forward stages from (p, v) — no residuals needed beyond
-    the pre-step state, which is what makes the VMEM-checkpointed kernel
-    adjoint possible.
+    By default recomputes the forward stages from (p, v) — no residuals
+    needed beyond the pre-step state, which is what makes the
+    VMEM-checkpointed kernel adjoint possible. Pass ``stages=(q2, q3, q4)``
+    (from ``rk4_fwd(..., with_stages=True)``) to skip that recomputation
+    when the caller already holds them.
     """
     h2_ = h * 0.5
-    # Recompute stage positions (the stage accelerations' VJPs need them).
-    k1v = _accel(p, coef)
-    q2 = p + v.scale(h2_)
-    u2 = v + k1v.scale(h2_)
-    k2v = _accel(q2, coef)
-    q3 = p + u2.scale(h2_)
-    u3 = v + k2v.scale(h2_)
-    k3v = _accel(q3, coef)
-    q4 = p + u3.scale(h)
+    if stages is None:
+        # Recompute stage positions (the stage accelerations' VJPs need them).
+        k1v = _accel(p, coef)
+        q2 = p + v.scale(h2_)
+        u2 = v + k1v.scale(h2_)
+        k2v = _accel(q2, coef)
+        q3 = p + u2.scale(h2_)
+        u3 = v + k2v.scale(h2_)
+        k3v = _accel(q3, coef)
+        q4 = p + u3.scale(h)
+    else:
+        q2, q3, q4 = stages
 
     s = h / 6.0
     coef_bar = jnp.zeros_like(p.x)
@@ -227,7 +240,8 @@ def alpha_shade(cand, r2, r2n, y, ny, acc_a, c: StepConsts):
 
 
 def step_primal(p: Dot3, v: Dot3, acc_a, status, c: StepConsts, valid,
-                *, disk_on: bool, defer_shade: bool = False):
+                *, disk_on: bool, defer_shade: bool = False,
+                return_stages: bool = False):
     """One primal march step (alpha + status only — the RGB accumulators are
     identity under the blend and not needed by the adjoint).
 
@@ -235,8 +249,14 @@ def step_primal(p: Dot3, v: Dot3, acc_a, status, c: StepConsts, valid,
     step returns a fifth element — the ``alpha_shade`` argument stash
     ``(cand, r2, r2n, y, ny)`` — so the caller can batch crossings behind
     one block-level cond. ``acc_a`` passes through untouched in that mode.
+    With ``return_stages=True`` the RK4 stage positions ``(q2, q3, q4)``
+    are appended as the final element so a replaying caller can store the
+    exact residuals :func:`step_vjp` needs (skipping its recompute).
     """
-    np_, nv = rk4_fwd(p, v, c.h, c.coef)
+    if return_stages:
+        np_, nv, stages = rk4_fwd(p, v, c.h, c.coef, with_stages=True)
+    else:
+        np_, nv = rk4_fwd(p, v, c.h, c.coef)
     r2 = p.dot(p)
     hit_h, hit_e, cont = _step_masks(status, r2, c.rs2, c.safe)
     hit_h = hit_h & valid
@@ -260,15 +280,31 @@ def step_primal(p: Dot3, v: Dot3, acc_a, status, c: StepConsts, valid,
     status = status + 2 * hit_h.astype(jnp.int32) + hit_e.astype(jnp.int32)
     p = Dot3(*(jnp.where(cont, a, b) for a, b in zip(np_, p)))
     v = Dot3(*(jnp.where(cont, a, b) for a, b in zip(nv, v)))
+    out = (p, v, acc_a, status)
     if defer_shade:
-        return p, v, acc_a, status, stash
-    return p, v, acc_a, status
+        out = out + (stash,)
+    if return_stages:
+        out = out + (stages,)
+    return out
 
 
 def step_vjp(p: Dot3, v: Dot3, acc_a, status, c: StepConsts, valid,
-             carry: AdjointCarry, *, disk_on: bool) -> AdjointCarry:
-    """Reverse of :func:`step_primal` given the *pre-step* primal state."""
-    np_, nv = rk4_fwd(p, v, c.h, c.coef)
+             carry: AdjointCarry, *, disk_on: bool,
+             post_p: Dot3 = None, stages=None) -> AdjointCarry:
+    """Reverse of :func:`step_primal` given the *pre-step* primal state.
+
+    ``post_p`` (the step's *frozen* post-step position, i.e. the next
+    step's pre-state) and ``stages`` (the RK4 stage positions from the
+    replay) are optional stored residuals: passing them skips this
+    function's primal recomputation. Bitwise-identical either way — on
+    lanes where the step froze (``cont`` false), the post state differs
+    from the recomputed one, but every quantity derived from it is masked
+    by ``cont``-gated selectors or multiplied by zeroed cotangents.
+    """
+    if post_p is None:
+        np_, _ = rk4_fwd(p, v, c.h, c.coef)
+    else:
+        np_ = post_p
     r2 = p.dot(p)
     _, _, cont = _step_masks(status, r2, c.rs2, c.safe)
     cont = cont & valid
@@ -325,7 +361,7 @@ def step_vjp(p: Dot3, v: Dot3, acc_a, status, c: StepConsts, valid,
         pbar = Dot3(pbar.x, pbar.y + y_bar, pbar.z)
 
     pbar = pbar + p.scale(2.0 * r2_bar)
-    pb, vb, cb = rk4_vjp(p, v, c.h, c.coef, np_bar, nv_bar)
+    pb, vb, cb = rk4_vjp(p, v, c.h, c.coef, np_bar, nv_bar, stages=stages)
     return AdjointCarry(
         pbar=pbar + pb,
         vbar=vbar + vb,

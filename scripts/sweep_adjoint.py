@@ -68,18 +68,28 @@ def main():
     import blackstar_tpu.ops.march_diff as md
 
     orig = adj.march_adjoint_pallas
-    for rows, seg in ((16, 16), (8, 16), (32, 16), (16, 32), (16, 8), (8, 32)):
+    # store_stages (r3): the VJP sweep skips ALL primal RK4 recompute by
+    # storing post-states (free) + stage positions (+9 sb planes of VMEM).
+    # Stage-storage candidates first at the flagship tiling, then the tile
+    # sweep at whichever wins.
+    combos = [(16, 16, True), (16, 16, False),
+              (8, 16, True), (32, 16, True), (16, 32, True), (16, 8, True),
+              (8, 16, False), (32, 16, False), (16, 32, False),
+              (16, 8, False), (8, 32, False)]
+    for rows, seg, stages in combos:
         md.march_adjoint_pallas = functools.partial(
-            orig, block_rows=rows, seg_len=seg
+            orig, block_rows=rows, seg_len=seg, store_stages=stages
         )
         md._make_march_diff.cache_clear()
         try:
             t = timed(make(), params)
-            print(f"rows={rows:2d} seg={seg:2d}: fwd+bwd {t * 1e3:7.2f} ms "
+            print(f"rows={rows:2d} seg={seg:2d} stages={int(stages)}: "
+                  f"fwd+bwd {t * 1e3:7.2f} ms "
                   f"({n_rays / t / 1e6:5.1f} Mrays/s fwd+bwd, "
                   f"bwd ≈ {(t - t_f) * 1e3:6.2f} ms)")
         except Exception as e:
-            print(f"rows={rows} seg={seg}: FAILED {type(e).__name__}: {e}")
+            print(f"rows={rows} seg={seg} stages={int(stages)}: "
+                  f"FAILED {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -25,11 +25,15 @@ def _setup(n=96, disk_opacity=0.95, seed=4):
     return pos0, vel0, cot_acc, cot_vel
 
 
+@pytest.mark.parametrize("stages", [False, True], ids=["recompute", "stages"])
 @pytest.mark.parametrize("defer", [True, False], ids=["defer", "inline"])
 @pytest.mark.parametrize("disk_opacity", [0.95, 0.0], ids=["disk", "no-disk"])
-def test_pallas_adjoint_matches_reference(disk_opacity, defer):
+def test_pallas_adjoint_matches_reference(disk_opacity, defer, stages):
     if disk_opacity == 0.0 and not defer:
         pytest.skip("defer is a no-op with the disk off")
+    if stages and (disk_opacity == 0.0 or not defer):
+        pytest.skip("stage storage is orthogonal to disk/defer; one axis "
+                    "suffices beyond the flagship combination")
     pos0, vel0, cot_acc, cot_vel = _setup(disk_opacity=disk_opacity)
     disk_on = disk_opacity != 0.0
     kw = dict(
@@ -50,13 +54,33 @@ def test_pallas_adjoint_matches_reference(disk_opacity, defer):
         mass=kw["mass"], safe_distance=kw["safe"], disk_on=disk_on,
         disk_inner=kw["inner"], disk_outer=kw["outer"],
         disk_opacity=kw["opacity"], disk_rgb=kw["disk_rgb"],
-        block_rows=2, seg_len=8, defer_shade=defer, interpret=True,
+        block_rows=2, seg_len=8, defer_shade=defer, store_stages=stages,
+        interpret=True,
     )
     names = ["pos0", "vel0", "mass", "inner", "outer", "opacity", "rgb"]
     for name, w, g in zip(names, want, got):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5, err_msg=name
         )
+
+
+def test_store_stages_bitwise_identical():
+    """The stored-stage VJP must be bit-for-bit the recompute VJP — the
+    replay computed the identical expressions (same inputs, same op order)."""
+    pos0, vel0, cot_acc, cot_vel = _setup()
+    kw = dict(
+        pos0=pos0, vel0=vel0, cot_acc=cot_acc, cot_vel=cot_vel,
+        step_size=H, max_steps=MAX_STEPS,
+        mass=jnp.float32(1.0), safe_distance=jnp.float32(SAFE), disk_on=True,
+        disk_inner=jnp.float32(1.8), disk_outer=jnp.float32(13.0),
+        disk_opacity=jnp.float32(0.95),
+        disk_rgb=hsi_to_rgb(jnp.asarray([0.5, 0.1, 1.05], jnp.float32)),
+        block_rows=2, seg_len=8, interpret=True,
+    )
+    base = march_adjoint_pallas(store_stages=False, **kw)
+    stag = march_adjoint_pallas(store_stages=True, **kw)
+    for w, g in zip(base, stag):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
 def test_pallas_adjoint_ragged_padding():
