@@ -215,6 +215,19 @@ class StarGrid:
 
     def astype(self, dtype) -> "StarGrid":
         dt = jnp.dtype(dtype)
+        # Overflow-row POINTERS are float-encoded in the slot-1 aux columns
+        # of cell_data: they stay exact only while the target mantissa can
+        # represent every row index. bf16/f16 would silently corrupt them
+        # and mis-gather overflow rows — refuse instead.
+        max_ptr = max(self.ovf_data.shape[0],
+                      0 if self.ovf2_data is None else self.ovf2_data.shape[0])
+        mant = jnp.finfo(dt).nmant + 1  # implicit leading bit
+        if max_ptr > (1 << mant):
+            raise ValueError(
+                f"cannot cast StarGrid to {dt}: overflow-row pointers up to "
+                f"{max_ptr} need {max_ptr.bit_length()} mantissa bits, "
+                f"{dt} has {mant}"
+            )
         return dataclasses.replace(
             self,
             cell_data=self.cell_data.astype(dt),
@@ -1186,6 +1199,17 @@ class CompactStarGrid:
         ovf = ovf.reshape(ovf.shape[0], -1)
         if ovf2 is not None:
             ovf2 = ovf2.reshape(ovf2.shape[0], -1)
+        # Same pointer-exactness rule as StarGrid.astype: the float-encoded
+        # overflow pointers must survive the cast (bf16/f16 would corrupt
+        # them silently).
+        max_ptr = max(ovf.shape[0], 0 if ovf2 is None else ovf2.shape[0])
+        mant = jnp.finfo(jnp.dtype(dtype)).nmant + 1
+        if max_ptr > (1 << mant):
+            raise ValueError(
+                f"cannot build StarGrid at {jnp.dtype(dtype)}: overflow-row "
+                f"pointers up to {max_ptr} need {max_ptr.bit_length()} "
+                f"mantissa bits, {jnp.dtype(dtype)} has {mant}"
+            )
         if device:
             dt = jnp.dtype(dtype)
             cd, od = jnp.asarray(base, dt), jnp.asarray(ovf, dt)
@@ -1354,7 +1378,10 @@ def save_star_grid(grid, path: str) -> str:
     actually written (np.savez appends the suffix but np.load would not, so
     the name is normalised here). Accepts a :class:`CompactStarGrid` (the
     offline-build product) or a dense :class:`StarGrid` (reconstructed to
-    compact form first). Slot values are stored float64."""
+    compact form first). Slot values are *stored* as float64, but their
+    precision is that of the grid being saved: full f64 only for compact /
+    offline builds or ``device=False`` grids — a dense grid built at f32
+    round-trips with f32-precision values upcast to f64."""
     if isinstance(grid, StarGrid):
         grid = _dense_to_compact(grid)
     if not path.endswith(".npz"):

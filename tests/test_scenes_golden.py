@@ -23,16 +23,17 @@ assert len(SCENES) == 9, SCENES
 
 def _oracle_cached(cfg, path, width):
     """The scalar float64 oracle costs ~19 s at 64×36; since it is a pure
-    function of the scene parameters, cache its output keyed by a hash of
-    the *resolved* config. A stale cache cannot mask a regression in the
-    renderer — only a change to the oracle itself warrants clearing
-    tests/golden_cache/."""
+    function of the scene parameters AND the oracle source, cache its output
+    keyed by a hash of the *resolved* config plus tests/oracle.py itself —
+    an oracle edit auto-invalidates the committed cache (ADVICE r2), and a
+    stale cache cannot mask a regression in the renderer."""
     import hashlib
     import json
 
     cache_dir = os.path.join(os.path.dirname(__file__), "golden_cache")
-    key_src = json.dumps(cfg.to_dict(), sort_keys=True)
-    key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
+    oracle_src = open(os.path.join(os.path.dirname(__file__), "oracle.py"), "rb").read()
+    key_src = json.dumps(cfg.to_dict(), sort_keys=True).encode() + oracle_src
+    key = hashlib.sha256(key_src).hexdigest()[:24]
     name = f"{os.path.basename(path).removesuffix('.yaml')}_{width}_{key}.npy"
     cache = os.path.join(cache_dir, name)
     if os.path.exists(cache):

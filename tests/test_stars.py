@@ -628,3 +628,25 @@ def test_host_build_preserves_float64_and_suffix_normalised(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded.cell_data), grid.cell_data
     )
+
+
+def test_astype_rejects_pointer_corrupting_dtypes():
+    """ADVICE r2: overflow-row pointers are float-encoded in the aux
+    columns — casting to a dtype whose mantissa cannot represent the
+    largest row index must raise instead of silently mis-gathering."""
+    import dataclasses
+
+    import pytest
+
+    cat = _random_catalog(300, seed=11, clusters=True)
+    grid = build_star_grid(cat, k0=4, dtype=jnp.float32)
+    assert grid.has_overflow
+    # f32 <-> f64 keep every pointer exact — allowed both ways.
+    grid.astype(jnp.float64).astype(jnp.float32)
+    # Fake a table deep enough that bf16's 8 mantissa bits cannot encode
+    # the last row index (the guard keys off the table height).
+    deep = dataclasses.replace(
+        grid, ovf_data=jnp.zeros((300, grid.ovf_data.shape[1]), jnp.float32)
+    )
+    with pytest.raises(ValueError, match="mantissa"):
+        deep.astype(jnp.bfloat16)
