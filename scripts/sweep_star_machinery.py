@@ -117,7 +117,15 @@ def main():
         g162 = load_star_grid(grid_path, k0=16, ovf_split=2)
         grouped("row-quad, 2^21, k0=16, ovf_split=2", g162, row_pitch=rw,
                 row_bands=4, chunk=1 << 21)
+        # 4×8 pixel blocks (gt=32 rays/row — the largest block the 6 mrad
+        # artifact margin covers at 1080p/fov 1.5: spread 3.0 mrad ×1.3).
+        grouped("4x8 blocks, 2^21, k0=16, ovf_split=2", g162, row_pitch=rw,
+                row_bands=4, group=8, chunk=1 << 21)
         del g162
+        g4b = load_star_grid(grid_path, ovf_split=4)
+        grouped("4x8 blocks, 2^21, ovf_split=4", g4b, row_pitch=rw,
+                row_bands=4, group=8, chunk=1 << 21)
+        del g4b
         return
 
     # --- 1. chunk size (fixed-cost amplification across lax.map chunks) ---
@@ -134,6 +142,8 @@ def main():
     grouped("row-quad (4x4), chunk 2^17", grid, row_pitch=rw, row_bands=4)
     grouped("row-quad (4x4), chunk 2^21", grid, row_pitch=rw, row_bands=4,
             chunk=1 << 21)
+    grouped("4x8 blocks, chunk 2^21", grid, row_pitch=rw, row_bands=4,
+            group=8, chunk=1 << 21)
 
     if not args.quick:
         # --- 3. pay-as-you-go batch sizes at the best chunk ----------------
