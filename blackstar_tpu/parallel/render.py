@@ -53,11 +53,12 @@ def render_sharded(
     dt = static.jdtype
     rw, rh = static.render_width, static.render_height
     n_rays = rw * rh
-    # Deal round-robin at star-lookup GROUP granularity (4 consecutive
-    # pixels): device d owns groups d, d+D, d+2D, … — the same static
-    # hard/easy interleave as a per-pixel deal, but each shard keeps whole
-    # groups so the grouped celestial-sphere lookup stays effective.
-    from blackstar_tpu.stars.grid import GROUP
+    # Deal round-robin at the star lookup's group granularity (STAR_GROUP
+    # consecutive pixels): device d owns groups d, d+D, d+2D, … — the same
+    # static hard/easy interleave as a per-pixel deal, but each shard keeps
+    # whole pixel-adjacent groups so the grouped celestial-sphere lookup
+    # stays effective inside every shard.
+    from blackstar_tpu.render import STAR_GROUP as GROUP
 
     n_groups = -(-n_rays // GROUP)
     per_g = -(-n_groups // n_dev)  # groups per device (ceil)

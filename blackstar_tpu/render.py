@@ -36,10 +36,14 @@ class RenderStats(NamedTuple):
     truncated_frac: jnp.ndarray  # () fraction still active at the step cap
 
 
-# Image rows per star-lookup group block (the p of the p×g row-band
-# schedule, stars/grid.lookup_grouped). 2 until the TPU sweep picks the
-# winner between 2×4 and 4×4 (scripts/sweep_star_machinery.py).
+# The p×g pixel-block schedule of the production star lookup
+# (stars/grid.lookup_grouped): ROW_BANDS image rows × STAR_GROUP consecutive
+# pixels share one gathered cell row. (2, 4) until the TPU sweep picks the
+# winner among 2×4 / 4×4 / 2×8 / 4×8 (scripts/sweep_star_machinery.py);
+# the committed artifact's 6 mrad margin covers all four at the flagship
+# framing, and per-ray validity keeps every schedule exact.
 ROW_BANDS = 2
+STAR_GROUP = 4
 
 
 def safe_distance(params: SceneParams, dtype) -> jnp.ndarray:
@@ -64,6 +68,7 @@ def shade(res, params: SceneParams, star_grid, dt,
         if static is not None and _grouped_eligible(star_grid, static,
                                                     res.vel.shape[0]):
             lookup = star_grid.lookup_grouped
+            kw["group"] = STAR_GROUP
             if res.vel.shape[0] == static.render_width * static.render_height:
                 # Row-major pixel rays: the p×g row-band schedule divides the
                 # per-group gather/validity work by p (forward-only).
@@ -102,14 +107,12 @@ def _grouped_eligible(star_grid, static: StaticConfig, n_rays: int) -> bool:
     margin = getattr(star_grid, "margin", 0.0)
     if margin <= 0.0 or static.fov_hint <= 0.0 or n_rays < GROUPED_MIN_RAYS:
         return False
-    from blackstar_tpu.stars.grid import GROUP
-
     # Validity is tested against the group mean, so the worst in-group
-    # offset is the pixel-block circumradius: half extents (GROUP−1)/2
+    # offset is the pixel-block circumradius: half extents (STAR_GROUP−1)/2
     # across and (ROW_BANDS−1)/2 down (pixel pitch ≈ fov/width at the
     # frame centre, smaller toward the edges).
     px = static.fov_hint / max(1, static.render_width)
-    spread = 0.5 * px * ((GROUP - 1) ** 2 + (ROW_BANDS - 1) ** 2) ** 0.5
+    spread = 0.5 * px * ((STAR_GROUP - 1) ** 2 + (ROW_BANDS - 1) ** 2) ** 0.5
     return spread * 1.3 <= margin
 
 
