@@ -124,8 +124,12 @@ def measure() -> dict:
                 "metric": "march_only_throughput_default_1080p",
                 "value": march_mrays,
                 "unit": "Mrays/s",
+                # Ratio against the BASELINE.json *forward* target; NOT the
+                # full-pipeline headline — see the metric string and note.
                 "vs_baseline": round(march_mrays / NORTH_STAR, 4),
                 "partial": True,
+                "note": "march-only (empty sky, no bloom); the full-pipeline "
+                        "measurement did not complete",
             }
         ),
         flush=True,
@@ -153,10 +157,25 @@ PROBE_TIMEOUT_S = 90
 
 
 def _attempt_timeout() -> int:
+    """Warm only when the grid artifact exists AND the newest compilation-
+    cache entry postdates the newest source file — a stale cache after a
+    code change means a full recompile, which must get the cold budget."""
     grid_warm = os.path.exists(os.path.join(HERE, "stars.grid.npz"))
     cache = os.path.join(HERE, ".jax_cache")
-    cache_warm = os.path.isdir(cache) and bool(os.listdir(cache))
-    return ATTEMPT_TIMEOUT_WARM_S if (grid_warm and cache_warm) else ATTEMPT_TIMEOUT_COLD_S
+    try:
+        cache_mtime = max(
+            e.stat().st_mtime for e in os.scandir(cache) if e.is_file()
+        )
+    except (OSError, ValueError):
+        return ATTEMPT_TIMEOUT_COLD_S
+    src_mtime = os.path.getmtime(os.path.abspath(__file__))
+    pkg = os.path.join(HERE, "blackstar_tpu")
+    for root, _, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                src_mtime = max(src_mtime, os.path.getmtime(os.path.join(root, f)))
+    warm = grid_warm and cache_mtime >= src_mtime
+    return ATTEMPT_TIMEOUT_WARM_S if warm else ATTEMPT_TIMEOUT_COLD_S
 
 
 _PROBE_SRC = (

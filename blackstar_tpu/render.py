@@ -41,9 +41,13 @@ class RenderStats(NamedTuple):
 # pixels share one gathered cell row. (2, 4) until the TPU sweep picks the
 # winner among 2×4 / 4×4 / 2×8 / 4×8 (scripts/sweep_star_machinery.py);
 # the committed artifact's 6 mrad margin covers all four at the flagship
-# framing, and per-ray validity keeps every schedule exact.
+# framing, and per-ray validity keeps every schedule exact. STAR_GROUP is
+# an alias of the grid layer's GROUP — ONE constant governs the lookup
+# default, the shade() call, the eligibility spread, and the sharded deal;
+# flip it in stars/grid.py.
+from blackstar_tpu.stars.grid import GROUP as STAR_GROUP  # noqa: E402
+
 ROW_BANDS = 2
-STAR_GROUP = 4
 
 
 def safe_distance(params: SceneParams, dtype) -> jnp.ndarray:

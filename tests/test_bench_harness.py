@@ -56,11 +56,21 @@ class TestAttemptTimeout:
         assert bench.ATTEMPT_TIMEOUT_WARM_S <= 600
 
     def test_selects_by_cache_state(self, tmp_path, monkeypatch):
+        import time
+
         monkeypatch.setattr(bench, "HERE", str(tmp_path))
         assert bench._attempt_timeout() == bench.ATTEMPT_TIMEOUT_COLD_S
         (tmp_path / "stars.grid.npz").write_bytes(b"x")
         cache = tmp_path / ".jax_cache"
         cache.mkdir()
         assert bench._attempt_timeout() == bench.ATTEMPT_TIMEOUT_COLD_S  # empty cache
-        (cache / "entry").write_bytes(b"x")
+        entry = cache / "entry"
+        entry.write_bytes(b"x")
+        # Cache entry newer than every source file -> warm.
+        future = time.time() + 3600
+        os.utime(entry, (future, future))
         assert bench._attempt_timeout() == bench.ATTEMPT_TIMEOUT_WARM_S
+        # Stale cache (older than the sources) -> a code change means a
+        # full recompile: cold budget.
+        os.utime(entry, (1.0, 1.0))
+        assert bench._attempt_timeout() == bench.ATTEMPT_TIMEOUT_COLD_S
