@@ -131,6 +131,13 @@ def main():
         timeit(f"stars: +ovf, {p}-row bands",
                stars_fn({"ovf"}, row_pitch=rw, row_bands=p),
                vel, escaped, grid)
+    # 4×8 blocks (group=8, the largest the artifact margin covers at 1080p).
+    for stages, tag in ((None, "full"), (set(), "base only"),
+                        ({"invalid"}, "+invalid")):
+        timeit(f"stars: {tag}, 4x8 blocks",
+               stars_fn(stages, row_pitch=rw, row_bands=4, group=8,
+                        chunk=1 << 21),
+               vel, escaped, grid)
 
     # Raw gather cost: one row per group, production cell ids.
     from blackstar_tpu.stars.grid import GROUP

@@ -9,7 +9,11 @@ from blackstar_tpu.ops.march_adjoint_pallas import march_adjoint_pallas
 from blackstar_tpu.ops.march_vjp import march_adjoint_reference
 
 H = 0.3
-MAX_STEPS = 50
+# 32 steps: rays from r=20 travel 9.6 units — plenty of disk crossings in
+# the 1.8..13 annulus and every ray still active at the cap (the same
+# regime as 50 steps, ~35% less interpreter time; suite budget, VERDICT r2
+# weak #8 -> #8 runtime item).
+MAX_STEPS = 32
 SAFE = 2500.0
 
 
@@ -25,15 +29,11 @@ def _setup(n=96, disk_opacity=0.95, seed=4):
     return pos0, vel0, cot_acc, cot_vel
 
 
-@pytest.mark.parametrize("stages", [False, True], ids=["recompute", "stages"])
 @pytest.mark.parametrize("defer", [True, False], ids=["defer", "inline"])
 @pytest.mark.parametrize("disk_opacity", [0.95, 0.0], ids=["disk", "no-disk"])
-def test_pallas_adjoint_matches_reference(disk_opacity, defer, stages):
+def test_pallas_adjoint_matches_reference(disk_opacity, defer):
     if disk_opacity == 0.0 and not defer:
         pytest.skip("defer is a no-op with the disk off")
-    if stages and (disk_opacity == 0.0 or not defer):
-        pytest.skip("stage storage is orthogonal to disk/defer; one axis "
-                    "suffices beyond the flagship combination")
     pos0, vel0, cot_acc, cot_vel = _setup(disk_opacity=disk_opacity)
     disk_on = disk_opacity != 0.0
     kw = dict(
@@ -54,8 +54,7 @@ def test_pallas_adjoint_matches_reference(disk_opacity, defer, stages):
         mass=kw["mass"], safe_distance=kw["safe"], disk_on=disk_on,
         disk_inner=kw["inner"], disk_outer=kw["outer"],
         disk_opacity=kw["opacity"], disk_rgb=kw["disk_rgb"],
-        block_rows=2, seg_len=8, defer_shade=defer, store_stages=stages,
-        interpret=True,
+        block_rows=2, seg_len=8, defer_shade=defer, interpret=True,
     )
     names = ["pos0", "vel0", "mass", "inner", "outer", "opacity", "rgb"]
     for name, w, g in zip(names, want, got):
@@ -66,11 +65,15 @@ def test_pallas_adjoint_matches_reference(disk_opacity, defer, stages):
 
 def test_store_stages_bitwise_identical():
     """The stored-stage VJP must be bit-for-bit the recompute VJP — the
-    replay computed the identical expressions (same inputs, same op order)."""
+    replay computed the identical expressions (same inputs, same op order).
+    Via transitivity with the reference-match gate above, this also gates
+    store_stages against the reference adjoint (no separate slow
+    parametrisation needed). A reduced step count keeps disk crossings and
+    the cap edge in play while the interpreter stays fast."""
     pos0, vel0, cot_acc, cot_vel = _setup()
     kw = dict(
         pos0=pos0, vel0=vel0, cot_acc=cot_acc, cot_vel=cot_vel,
-        step_size=H, max_steps=MAX_STEPS,
+        step_size=H, max_steps=20,
         mass=jnp.float32(1.0), safe_distance=jnp.float32(SAFE), disk_on=True,
         disk_inner=jnp.float32(1.8), disk_outer=jnp.float32(13.0),
         disk_opacity=jnp.float32(0.95),
@@ -79,8 +82,11 @@ def test_store_stages_bitwise_identical():
     )
     base = march_adjoint_pallas(store_stages=False, **kw)
     stag = march_adjoint_pallas(store_stages=True, **kw)
+    nonzero = False
     for w, g in zip(base, stag):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        nonzero = nonzero or bool(np.any(np.asarray(w) != 0.0))
+    assert nonzero, "degenerate case: all gradients zero"
 
 
 def test_pallas_adjoint_ragged_padding():
