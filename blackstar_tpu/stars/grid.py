@@ -437,13 +437,17 @@ class StarGrid:
         dt = nx.dtype
         m = nx.shape[0]
         cell = self._cell_ids_comp(nx, ny, nz)
-        row = self.cell_data[cell].astype(dt)
+        # Pointers are read from the RAW gathered rows (grid dtype) before
+        # the cast to the ray dtype: a low-mantissa ray dtype (bf16/f16)
+        # would silently round pointer values and mis-gather overflow rows.
+        raw = self.cell_data[cell]
+        row = raw.astype(dt)
         z = jnp.zeros((m,), dt)
         [acc] = self._base_math(
             row, [(nx, ny, nz)], intensity, saturation, [(z, z, z)]
         )
         for tbl, octs, pcol in self._ovf_tiers():
-            optr = row[:, pcol].astype(jnp.int32)
+            optr = raw[:, pcol].astype(jnp.int32)
             if not ovf_block or m % ovf_block or m < 8 * ovf_block:
                 # Full-width overflow row per ray (row 0 = all-sentinel dummy).
                 orow = tbl[optr].astype(dt)
@@ -557,7 +561,8 @@ class StarGrid:
         cell = self._cell_ids_comp(nx, ny, nz)
 
         # ONE contiguous-row gather per ray from the 2-D (C, K0·8) table.
-        data = self.cell_data[cell].astype(dt)  # (n, K0·8)
+        raw = self.cell_data[cell]  # grid dtype — pointer columns stay exact
+        data = raw.astype(dt)  # (n, K0·8)
         intensity = intensity.astype(dt)
         saturation = saturation.astype(dt)
         z = jnp.zeros((n,), dt)
@@ -566,7 +571,7 @@ class StarGrid:
         )
 
         for tbl, octs, pcol in self._ovf_tiers():
-            rowid = data[:, pcol].astype(jnp.int32)  # base-row aux; 0 = none
+            rowid = raw[:, pcol].astype(jnp.int32)  # base-row aux; 0 = none
             has = rowid > 0
             if active is not None:
                 has = has & active
@@ -683,7 +688,16 @@ class StarGrid:
         dt = vel.dtype
         if self.n_stars == 0:
             return jnp.zeros((n, 3), dt)
-        align = max(group * group_block, ray_block)
+        # Padding alignment: each part's group count must tile by BOTH block
+        # granularities — the overflow compaction (group_block) and the
+        # invalid compaction (ray_block // rays-per-group, for the banded
+        # and unbanded part shapes). An lcm, not a max: non-power-of-two
+        # knob values otherwise crash in the block reshapes.
+        import math
+
+        gpb1 = max(1, ray_block // group)
+        gpbp = max(1, ray_block // (max(1, int(row_bands)) * group))
+        align = group * math.lcm(group_block, gpb1, gpbp)
         kw = dict(
             group=group, ray_block=ray_block, group_block=group_block,
             invalid_frac=invalid_frac, ovf_frac=ovf_frac,
@@ -732,6 +746,8 @@ class StarGrid:
         (n, 3) colours."""
         dt = parts[0][0].dtype
         n = parts[0][0].shape[0]
+        # Every lax.map chunk must itself satisfy the block alignment.
+        chunk = max(align, chunk // align * align)
         n_pad = -(-n // align) * align
         if n_pad > chunk:
             n_pad = -(-n // chunk) * chunk
@@ -768,22 +784,6 @@ class StarGrid:
             return [o.reshape(n_pad, 3)[:n] for o in outs]
         outs = self._grouped_parts(parts, actives, intensity, saturation, **kw)
         return [o[:n] for o in outs]
-
-    def _grouped_block(
-        self, vx, vy, vz, intensity, saturation, active, *,
-        group, ray_block, group_block, invalid_frac, ovf_frac,
-        ovf_batch_blocks=512, inv_batch_blocks=256,
-        differentiable=False, debug_stages=None,
-    ) -> jnp.ndarray:
-        [out] = self._grouped_parts(
-            [(vx, vy, vz)], [active], intensity, saturation,
-            group=group, ray_block=ray_block, group_block=group_block,
-            invalid_frac=invalid_frac, ovf_frac=ovf_frac,
-            ovf_batch_blocks=ovf_batch_blocks,
-            inv_batch_blocks=inv_batch_blocks,
-            differentiable=differentiable, debug_stages=debug_stages,
-        )
-        return out
 
     def _grouped_parts(
         self, parts, actives, intensity, saturation, *,
@@ -842,14 +842,14 @@ class StarGrid:
             repx = repx + nx4s[-1].mean(axis=-1)
             repy = repy + ny4s[-1].mean(axis=-1)
             repz = repz + nz4s[-1].mean(axis=-1)
-        nx4, ny4, nz4 = nx4s[0], ny4s[0], nz4s[0]
         rinv = jax.lax.rsqrt(repx * repx + repy * repy + repz * repz)
         # A degenerate (near-zero) mean yields NaN/garbage cell ids; the
         # validity test then fails those rays into the exact per-ray
         # fallback, so correctness is unaffected.
         repcell = self._cell_ids_comp(repx * rinv, repy * rinv, repz * rinv)
 
-        base = self.cell_data[repcell].astype(dt)  # (G, K0·8) — THE gather
+        braw = self.cell_data[repcell]  # (G, K0·8) — THE gather
+        base = braw.astype(dt)  # pointer columns read from braw (exactness)
 
         # Validity metadata: the build halo guarantees every star within
         # `margin` (chordal) of the CELL BOX is in the cell's candidate
@@ -907,7 +907,7 @@ class StarGrid:
         for tier_i, (tbl, octs, pcol) in enumerate(self._ovf_tiers()):
             if not on("ovf" if tier_i == 0 else "ovf2"):
                 continue
-            optr = base[:, pcol].astype(jnp.int32)  # (G,)
+            optr = braw[:, pcol].astype(jnp.int32)  # (G,)
             hasg = optr > 0
             nbg = n_groups // group_block
             obf = hasg.reshape(nbg, group_block).any(axis=1)
@@ -1273,11 +1273,17 @@ def _insertion_pairs(catalog: Catalog, cell_size: float, r: float):
     sr_first = np.repeat(np.cumsum(n_ring) - n_ring, n_ring)
     sr_ring = ring_lo[sr_star] + (np.arange(len(sr_star)) - sr_first)
 
-    # Azimuthal halo: chordal radius r subtends RA width r / cos(dec) at the
-    # ring's extreme declination (cos smallest there).
+    # Azimuthal halo: chordal radius r subtends RA width r / cos(dec). The
+    # star can sit up to rh OUTSIDE the ring in declination (that is what
+    # the ring halo above admits), where cos(dec) is smaller than at the
+    # ring's own edge — take the worst cos over the rh-extended band, or
+    # near-pole rays at the margin fringe silently miss candidates
+    # (found by tests/test_stars.py::test_insertion_covers_radius_at_poles).
     edge_lo = -np.pi / 2 + delta * sr_ring
     edge_hi = edge_lo + delta
-    min_cos = np.minimum(np.cos(edge_lo), np.cos(edge_hi))
+    ext_lo = np.maximum(edge_lo - rh, -np.pi / 2)
+    ext_hi = np.minimum(edge_hi + rh, np.pi / 2)
+    min_cos = np.minimum(np.cos(ext_lo), np.cos(ext_hi))
     safe_cos = np.maximum(min_cos, 1e-12)
     # Rings touching the poles: halo covers the full circle.
     dra = np.where(min_cos < rh, np.pi, 1.05 * rh / safe_cos)
@@ -1314,7 +1320,10 @@ def build_star_grid_compact(
 
     Each star is inserted into every cell whose (radius-expanded) region it
     falls in, so queries touch exactly one cell. ``cell_size`` is the ring
-    height in radians; it must exceed ``2×radius`` (default 2·3·psf_width).
+    height in radians. ``radius`` MAY exceed ``cell_size`` — the
+    insertion-pair builder expands stars into every overlapped cell, so
+    arbitrary halo/cell ratios are valid (the production artifact uses
+    cell_size=0.006 with radius=0.0075).
     ``k0`` picks the base-table slot count — excess candidates of dense
     cells go to the overflow table.
     """
@@ -1386,8 +1395,12 @@ def save_star_grid(grid, path: str) -> str:
         grid = _dense_to_compact(grid)
     if not path.endswith(".npz"):
         path = path + ".npz"
+    # Atomic write: a ~15 s build interrupted mid-save must never leave a
+    # truncated file at the final path (ensure_star_grid's existence check
+    # would then satisfy forever and every np.load would fail opaquely).
+    tmp = path[:-4] + ".tmp.npz"  # keep the suffix: np.savez appends it
     np.savez_compressed(
-        path,
+        tmp,
         version=_FORMAT_VERSION,
         counts=grid.counts.astype(np.int32),
         star_ids=grid.star_ids,
@@ -1399,6 +1412,7 @@ def save_star_grid(grid, path: str) -> str:
         radius=grid.radius,
         k0=grid.k0,
     )
+    os.replace(tmp, path)
     return path
 
 

@@ -3,7 +3,7 @@
 Times (device-side, K iterations inside one jit) each stage of the
 production 1080p default-scene frame: march, star shading broken into
 gather / base math / overflow / invalid-fallback via the
-``debug_stages`` hook of ``StarGrid._grouped_block``, and bloom.
+``debug_stages`` hook of ``StarGrid.lookup_grouped``, and bloom.
 
 Run on the TPU:  python scripts/profile_star_stages.py
 """

@@ -650,3 +650,74 @@ def test_astype_rejects_pointer_corrupting_dtypes():
     )
     with pytest.raises(ValueError, match="mantissa"):
         deep.astype(jnp.bfloat16)
+
+
+def test_insertion_covers_radius_at_poles():
+    """Build invariant behind the grouped lookup's exactness claim: every
+    star within the build radius of a cell's (sampled) box must be in that
+    cell's candidate list. Near-pole rings are the regression case — the
+    azimuthal halo must use the cos(dec) of the rh-EXTENDED band, not the
+    ring's own edge (a star admitted by the declination halo sits where
+    cos is smaller; the old code missed candidates by up to 7.7e-4 chordal
+    at cell_size=0.008/radius=0.0075)."""
+    from blackstar_tpu.stars.grid import build_star_grid_compact
+
+    rng = np.random.default_rng(0)
+    n = 120
+    dec = np.pi / 2 - np.abs(rng.normal(0, 0.05, n))
+    ra = rng.uniform(0, 2 * np.pi, n)
+    pos = np.stack([np.cos(dec) * np.cos(ra), np.cos(dec) * np.sin(ra),
+                    np.sin(dec)], -1)
+    cat = Catalog(pos=pos, mag=np.full(n, 900, np.int32),
+                  hue=np.zeros(n), sat=np.zeros(n))
+    cell_size, radius = 0.008, 0.0075
+    g = build_star_grid_compact(cat, cell_size=cell_size, radius=radius)
+    delta = np.pi / g.n_rings
+    cw = 2 * np.pi / g.n_cols
+    starts = np.concatenate([[0], np.cumsum(g.counts)])
+    t = np.linspace(0, 1, 7)
+    for si in range(n):
+        p, d0 = pos[si], dec[si]
+        r_lo = max(0, int((d0 - 2.5 * radius + np.pi / 2) / delta))
+        r_hi = min(g.n_rings, int((d0 + 2.5 * radius + np.pi / 2) / delta) + 1)
+        for ring in range(r_lo, r_hi):
+            lo = -np.pi / 2 + ring * delta
+            ra_s = np.arange(g.n_cols)[:, None] * cw + t[None, :] * cw
+            dec_s = lo + t * delta
+            cd, sd = np.cos(dec_s), np.sin(dec_s)
+            bx = np.stack(
+                [cd[None, None, :] * np.cos(ra_s)[:, :, None],
+                 cd[None, None, :] * np.sin(ra_s)[:, :, None],
+                 np.broadcast_to(sd, (g.n_cols, 7, 7))], -1)
+            dmin = np.sqrt(((bx - p) ** 2).sum(-1)).reshape(g.n_cols, -1).min(-1)
+            # Sampled distance >= true distance, so any flagged cell is a
+            # REAL coverage requirement (no false positives possible).
+            for col in np.flatnonzero(dmin <= radius * 0.999):
+                cell = ring * g.n_cols + col
+                ids = g.star_ids[starts[cell]:starts[cell + 1]]
+                rows = g.star_rows[ids]
+                assert np.any(
+                    np.all(np.isclose(rows[:, 0:3], p, atol=1e-12), axis=-1)
+                ), f"star {si} missing from cell {cell} (short by {radius - dmin[col]:.2e})"
+
+
+def test_grouped_lookup_odd_knobs_do_not_crash():
+    """Non-power-of-two chunk / group_block values are legal sweep knobs:
+    the padding alignment must be an lcm of the block granularities (these
+    exact calls crashed in block reshapes before the lcm fix)."""
+    cat = _random_catalog(300, seed=12)
+    grid = build_star_grid(cat, dtype=jnp.float64, cell_size=0.03,
+                           radius=0.012)
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(1000, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    v = jnp.asarray(v)
+    ii, ss = jnp.float64(0.7), jnp.float64(0.7)
+    want = grid.lookup(v, intensity=ii, saturation=ss)
+    # Two variants keep the compile cost down: the chunk-only case (the
+    # lax.map split path) and the all-odd combination.
+    for kw in ({"chunk": 1000},
+               {"chunk": 1000, "group_block": 6, "ray_block": 24}):
+        got = grid.lookup_grouped(v, intensity=ii, saturation=ss, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-12, err_msg=str(kw))
