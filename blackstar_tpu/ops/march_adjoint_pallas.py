@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from blackstar_tpu.ops.march_pallas import (
     LANES,
+    pack_scalars,
     _S_DISK_B,
     _S_DISK_G,
     _S_DISK_R,
@@ -84,7 +85,8 @@ def _adjoint_kernel(
     cvx_ref, cvy_ref, cvz_ref,  # VMEM cotangents of the final velocity
     car_ref, cag_ref, cab_ref, caa_ref,  # VMEM cotangents of acc RGBA
     gvx_ref, gvy_ref, gvz_ref,  # VMEM out: d/d(vel0) planes
-    gs_ref,  # VMEM out (1, 128): per-tile scalar partials
+    gs_ref,  # VMEM out (1, 8, LANES) block: scalar partials in sublane 0
+    # (8-sublane minimum tile; the wrapper sums the zero-padded sublanes)
     ck_px, ck_py, ck_pz, ck_vx, ck_vy, ck_vz, ck_aa, ck_st,  # scratch ckpts
     sb_px, sb_py, sb_pz, sb_vx, sb_vy, sb_vz, sb_aa, sb_st,  # scratch segbuf
     *sb_q,  # 9 scratch stage buffers (q2/q3/q4 xyz) iff store_stages
@@ -378,9 +380,11 @@ def march_adjoint_pallas(
 ):
     """Gradients of the march outputs w.r.t. every differentiable input.
 
-    Returns ``(pos0̄ (3,), vel0̄ (N,3), mass̄, inner̄, outer̄, opacitȳ,
+    Returns ``(pos0̄ (3,), vel0̄, mass̄, inner̄, outer̄, opacitȳ,
     rgb̄ (3,))`` — exactly what reverse-mode AD of the scan march computes
-    (see tests/test_march_adjoint.py for the equivalence gate).
+    (see tests/test_march_adjoint.py for the equivalence gate). ``vel0̄``
+    mirrors the input structure: an (N, 3) array, or three flat planes
+    when ``vel0`` arrived as component planes (no interleave round-trip).
 
     ``defer_shade`` (bitwise-identical, verified on hardware) skips the
     blend math/VJP for crossing-free segments behind per-segment conds.
@@ -418,20 +422,9 @@ def march_adjoint_pallas(
     grid = rows // block_rows
     planes = [c.reshape(rows, LANES) for c in comps + cots]
 
-    scal = jnp.stack(
-        [
-            jnp.asarray(step_size, f32),
-            jnp.asarray(mass, f32),
-            jnp.asarray(safe_distance, f32),
-            jnp.asarray(disk_inner, f32) ** 2,
-            jnp.asarray(disk_outer, f32) ** 2,
-            jnp.asarray(disk_opacity, f32),
-            jnp.asarray(disk_rgb[0], f32),
-            jnp.asarray(disk_rgb[1], f32),
-            jnp.asarray(disk_rgb[2], f32),
-            jnp.asarray(disk_inner, f32),
-            jnp.asarray(disk_outer, f32),
-        ]
+    scal = pack_scalars(
+        step_size, mass, safe_distance, disk_inner, disk_outer,
+        disk_opacity, disk_rgb,
     )
     cap = jnp.array([max_steps], jnp.int32)
     p0 = jnp.asarray(pos0, f32).reshape(3)
@@ -467,9 +460,15 @@ def march_adjoint_pallas(
     )(scal, cap, p0, *planes)
 
     gvx, gvy, gvz, gs = outs
-    vel0_bar = jnp.stack(
-        [gvx.reshape(-1), gvy.reshape(-1), gvz.reshape(-1)], axis=-1
-    )[:n]
+    if isinstance(vel0, (tuple, list)):
+        # Component-planes input -> component-planes gradient: stacking to
+        # (N, 3) only for the caller to deinterleave again would cost a
+        # ~2 GB/s strided round-trip on the training hot path.
+        vel0_bar = tuple(g.reshape(-1)[:n] for g in (gvx, gvy, gvz))
+    else:
+        vel0_bar = jnp.stack(
+            [gvx.reshape(-1), gvy.reshape(-1), gvz.reshape(-1)], axis=-1
+        )[:n]
     partials = jnp.sum(gs, axis=(0, 1))  # reduce per-tile rows (+ sublane pad)
     pos0_bar = partials[G_POS0X:G_POS0Z + 1]
     return (

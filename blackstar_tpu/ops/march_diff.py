@@ -78,8 +78,13 @@ def _make_march_diff(step_size: float, max_steps: int, disk_on: bool,
             defer_shade=not interpret,
             interpret=interpret,
         )
+        # g_vel0 already mirrors the input structure (planes stay planes —
+        # march_adjoint_pallas skips the (N, 3) interleave round-trip);
+        # cast to the primal dtype like every other cotangent.
         if components:
-            g_vel0 = (g_vel0[:, 0], g_vel0[:, 1], g_vel0[:, 2])
+            g_vel0 = tuple(g.astype(v.dtype) for g, v in zip(g_vel0, vel0))
+        else:
+            g_vel0 = g_vel0.astype(vel0.dtype)
         # safe enters comparisons only — zero gradient (matches autodiff).
         return (
             g_pos0.astype(pos0.dtype),

@@ -74,6 +74,30 @@ _S_DISK_G = 7
 _S_DISK_B = 8
 _S_INNER = 9
 _S_OUTER = 10
+
+
+def pack_scalars(step_size, mass, safe_distance, disk_inner, disk_outer,
+                 disk_opacity, disk_rgb):
+    """The (11,) SMEM scalar stack in _S_* order — the ONE place the write
+    order lives (the forward wrapper and the adjoint wrapper both consume
+    it; a hand-duplicated stack would silently desynchronise from the
+    read-side indices on any reorder)."""
+    f32 = jnp.float32
+    return jnp.stack(
+        [
+            jnp.asarray(step_size, f32),
+            jnp.asarray(mass, f32),
+            jnp.asarray(safe_distance, f32),
+            jnp.asarray(disk_inner, f32) ** 2,
+            jnp.asarray(disk_outer, f32) ** 2,
+            jnp.asarray(disk_opacity, f32),
+            jnp.asarray(disk_rgb[0], f32),
+            jnp.asarray(disk_rgb[1], f32),
+            jnp.asarray(disk_rgb[2], f32),
+            jnp.asarray(disk_inner, f32),
+            jnp.asarray(disk_outer, f32),
+        ]
+    )
 _N_SCALARS = 11
 
 
@@ -356,20 +380,9 @@ def march_pallas(
     vy = comps[1].reshape(rows, LANES)
     vz = comps[2].reshape(rows, LANES)
 
-    scal = jnp.stack(
-        [
-            jnp.asarray(step_size, f32),
-            jnp.asarray(mass, f32),
-            jnp.asarray(safe_distance, f32),
-            jnp.asarray(disk_inner, f32) ** 2,
-            jnp.asarray(disk_outer, f32) ** 2,
-            jnp.asarray(disk_opacity, f32),
-            jnp.asarray(disk_rgb[0], f32),
-            jnp.asarray(disk_rgb[1], f32),
-            jnp.asarray(disk_rgb[2], f32),
-            jnp.asarray(disk_inner, f32),
-            jnp.asarray(disk_outer, f32),
-        ]
+    scal = pack_scalars(
+        step_size, mass, safe_distance, disk_inner, disk_outer,
+        disk_opacity, disk_rgb,
     )
     cap = jnp.array([max_steps], jnp.int32)
     p0 = jnp.asarray(pos0, f32).reshape(3)

@@ -100,3 +100,39 @@ def test_march_diff_reports_executed_steps():
     )
     assert int(res_diff.steps) == int(res_fwd.steps)
     assert 0 < int(res_diff.steps) < max_steps
+
+
+def test_march_diff_component_planes_and_f64_inputs():
+    """vel0 as three flat component planes (the production kernel feed) and
+    float64 inputs: gradients must mirror the input structure and dtype —
+    the f64 case crashed before the bwd-side vel0 cast (custom_vjp checks
+    cotangent avals against the primal inputs)."""
+    cfg = _cfg()
+    params, static = cfg.params(), cfg.static()
+    from blackstar_tpu.camera import generate_rays
+    from blackstar_tpu.render import safe_distance
+
+    pos0, vel0 = generate_rays(params.camera, static.render_width,
+                               static.render_height, dtype=jnp.float64)
+    planes = (vel0[:, 0], vel0[:, 1], vel0[:, 2])
+
+    def loss(v0):
+        res = march_diff(
+            pos0, v0, step_size=static.step_size, max_steps=16,
+            disk_on=True, mass=params.mass, inner=params.disk.inner,
+            outer=params.disk.outer, opacity=params.disk.opacity,
+            disk_rgb=hsi_to_rgb(params.disk.color_hsi),
+            safe=safe_distance(params, jnp.float32), interpret=True,
+        )
+        return jnp.sum(res.acc_rgba) + jnp.sum(res.vel)
+
+    g_planes = jax.grad(loss)(planes)
+    assert isinstance(g_planes, tuple) and len(g_planes) == 3
+    for g, v in zip(g_planes, planes):
+        assert g.shape == v.shape and g.dtype == v.dtype
+    g_arr = jax.grad(loss)(vel0)
+    assert g_arr.shape == vel0.shape and g_arr.dtype == vel0.dtype
+    np.testing.assert_allclose(
+        np.stack([np.asarray(g) for g in g_planes], -1), np.asarray(g_arr),
+        atol=0,
+    )
