@@ -54,6 +54,9 @@ class Animation:
 
     @classmethod
     def from_dict(cls, d: dict) -> "Animation":
+        if "nFrames" not in d:
+            raise ValueError("animation config is missing the required "
+                             "'nFrames' key")
         return cls(
             scene=Scene.from_dict(d.get("scene", {})),
             n_frames=int(d["nFrames"]),

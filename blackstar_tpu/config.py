@@ -358,9 +358,13 @@ def default_max_steps(cfg: Config) -> int:
     """
     cam = np.asarray(cfg.camera.position, dtype=np.float64)
     r2cam = float(np.dot(cam, cam))
-    safe = max(50.0**2, 2.0 * r2cam)
+    # Escape radius and the photon-orbit margin both scale with rs (the
+    # photon sphere sits at 1.5·rs, one orbit is ~9.4·rs): a mass-5 scene
+    # otherwise truncates ring-winding rays that a mass-1 cap covers.
+    mass = float(cfg.scene.mass)
+    safe = max((50.0 * mass) ** 2, 2.0 * r2cam)
     r_safe = math.sqrt(safe)
-    path = math.sqrt(r2cam) + 2.0 * r_safe + 60.0
+    path = math.sqrt(r2cam) + 2.0 * r_safe + 60.0 * max(1.0, mass)
     return int(math.ceil(path / cfg.scene.step_size))
 
 

@@ -167,6 +167,11 @@ class AsyncFrameWriter:
             )
         self._lib = lib
         self._handle = lib.bs_writer_create(n_threads)
+        if self._handle is None:
+            # Fail fast: a NULL handle would otherwise surface on first
+            # submit() as a misleading "writer closed".
+            raise RuntimeError("bs_writer_create failed (allocation or "
+                               "thread start)")
 
     def _check_open(self) -> None:
         # A None handle would null-deref inside the C ABI — fail in Python.

@@ -51,9 +51,16 @@ ROW_BANDS = 2
 
 
 def safe_distance(params: SceneParams, dtype) -> jnp.ndarray:
-    """``max(50², 2·|camPos|²)`` (Raytracer.hs:59-60), differentiable."""
+    """``max((50·rs)², 2·|camPos|²)`` (Raytracer.hs:59-60), differentiable.
+
+    The reference hard-codes rs=1, making its 50 literally "50 Schwarzschild
+    radii"; with the mass extension the floor scales with rs so large-mass
+    scenes don't flag still-deflected (or even plunging, rs > ~33) rays as
+    escaped. Bitwise-identical at mass=1. ``safe`` enters comparisons only,
+    so no gradient flows through it (matches autodiff)."""
     p = params.camera.position.astype(dtype)
-    return jnp.maximum(jnp.asarray(2500.0, dtype), 2.0 * jnp.dot(p, p))
+    rs = params.mass.astype(dtype)
+    return jnp.maximum((50.0 * rs) ** 2, 2.0 * jnp.dot(p, p))
 
 
 def shade(res, params: SceneParams, star_grid, dt,
@@ -261,6 +268,18 @@ def render_rgb(
     return bloom(img, params.bloom_strength.astype(img.dtype), static.bloom_divider)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_image_fn(with_bloom: bool):
+    # Module-cached: a fresh jax.jit per render_image call would retrace
+    # every image (~30 s first march trace on CPU); with one cached callable
+    # repeat calls hit jit's dispatch cache (StaticConfig is hashable).
+    fn = render_rgb if with_bloom else render
+    return jax.jit(fn, static_argnums=(1,))
+
+
 def render_image(cfg: Config, star_grid=None, *, preview: bool = False, jit: bool = True):
     """Convenience: Config -> numpy linear RGB image (bloom included when
     the scene enables it). Used by the CLI and tests."""
@@ -273,8 +292,10 @@ def render_image(cfg: Config, star_grid=None, *, preview: bool = False, jit: boo
         base = apply_preview(cfg)
     params = base.params()
     static = base.static()
-    fn = render if base.scene.bloom_strength == 0.0 else render_rgb
+    with_bloom = base.scene.bloom_strength != 0.0
     if jit:
-        fn = jax.jit(fn, static_argnums=(1,))
+        fn = _jit_image_fn(with_bloom)
+    else:
+        fn = render_rgb if with_bloom else render
     img = fn(params, static, star_grid)
     return np.asarray(jax.device_get(img))

@@ -116,7 +116,7 @@ def trace_pixel(cfg, stars, width, height, x, y, max_steps=100000):
     cr = np.cross(pos, vel)
     h2 = cr @ cr
     cam_pos = np.asarray(cfg.camera.position, np.float64)
-    safe = max(50.0**2, 2.0 * (cam_pos @ cam_pos))
+    safe = max((50.0 * scene.mass) ** 2, 2.0 * (cam_pos @ cam_pos))
     inner2 = scene.disk_inner**2
     outer2 = scene.disk_outer**2
     rs2 = scene.mass**2

@@ -170,3 +170,19 @@ def test_train_step_takes_grid_as_argument():
     step = jax.jit(make_train_step(static, opt))
     state2, loss = step(state, target, grid)
     assert jnp.isfinite(loss)
+
+
+def test_golden_large_mass():
+    """mass=5 (rs=5): the escape radius, step cap, and orbit margin must all
+    scale with rs — before the r3 fix, safe stayed at r=50 (just 10 rs out,
+    misclassifying deflected rays) and the +60 path margin covered barely
+    one photon orbit, so ring-winding rays truncated to black. Gates both
+    the oracle match and zero truncation."""
+    from blackstar_tpu.render import render as _render
+
+    cfg = _cfg(res=(10, 6), diskOpacity=0.95, diskInner=9.0, diskOuter=18.0,
+               mass=5.0)
+    img, stats = _render(cfg.params(), cfg.static(), with_stats=True)
+    assert float(stats.truncated_frac) == 0.0
+    assert 0.0 < float(stats.horizon_frac) < 1.0  # rs=5 shadow in frame
+    _compare(cfg)
