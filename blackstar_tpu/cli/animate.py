@@ -63,6 +63,27 @@ def main(argv=None) -> int:
         from blackstar_tpu.cli.render import _load_stars
         from blackstar_tpu.video import render_animation
 
+        if not args.force:
+            # The device-resident loop writes frames asynchronously — no
+            # per-frame prompt is possible, so honour -f up front instead
+            # of silently clobbering a previous run's frames.
+            from blackstar_tpu.animation import pad_zero
+
+            existing = [
+                os.path.join(
+                    out_path, f"{basename}_{pad_zero(anim.n_frames - 1, i)}.png"
+                )
+                for i in range(anim.n_frames)
+            ]
+            existing = [p for p in existing if os.path.exists(p)]
+            if existing:
+                print(
+                    f"{len(existing)} frame(s) already exist in {out_path} "
+                    "(e.g. " + existing[0] + ") — pass -f/--force to "
+                    "overwrite."
+                )
+                return 1
+
         star_grid = _load_stars(args.starmap)
         if star_grid is not None:
             # Resolve the per-dtype cache to the actual grid for this

@@ -79,6 +79,13 @@ def main(argv=None) -> int:
             f"resolution is {w}x{h} — resize one of them."
         )
         return 1
+    import jax
+
+    if static.jdtype == jnp.float64 and not jax.config.jax_enable_x64:
+        print(
+            "Note: this scene requests float64 but x64 is disabled — "
+            "fitting at float32 (set JAX_ENABLE_X64=1 for full precision)."
+        )
     target = srgb_decode(jnp.asarray(rgb8, static.jdtype) / 255.0)
     if cfg.scene.bloom_strength != 0.0:
         print(
@@ -123,8 +130,9 @@ def main(argv=None) -> int:
         os.path.splitext(scene_path)[0] + "-fitted.yaml"
     )
     fitted_cfg = config_with_params(cfg, fitted)
-    prompt_overwrite_file(out, lambda p: save_config(fitted_cfg, p), force=args.force)
-    print(f"Fitted scene written to {out}.")
+    if prompt_overwrite_file(out, lambda p: save_config(fitted_cfg, p),
+                             force=args.force):
+        print(f"Fitted scene written to {out}.")
     if args.checkpoint:
         save_params(fitted, args.checkpoint)
         print(f"Parameter checkpoint written to {args.checkpoint}.")

@@ -93,9 +93,11 @@ def main(argv=None) -> int:
         )
 
     out = args.output if args.output.endswith(".npz") else args.output + ".npz"
-    prompt_overwrite_file(out, lambda p: save_star_grid(grid, p), force=args.force)
-    print("Star grid saved.")
-    return 0
+    if prompt_overwrite_file(out, lambda p: save_star_grid(grid, p),
+                             force=args.force):
+        print("Star grid saved.")
+        return 0
+    return 1
 
 
 if __name__ == "__main__":

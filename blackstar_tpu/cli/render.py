@@ -139,9 +139,11 @@ def handle_scene(args, star_grid, outdir: str, filename: str, writer=None) -> bo
     rgb8 = np.asarray(_jit_encode()(img))
 
     print(f"Saving to {out_name}...")
-    if writer is not None and args.force and not os.path.exists(out_name):
+    if writer is not None and args.force:
         # Batch mode with the native pool: hand the frame to a writer thread
         # and start the next render immediately (keeps the device busy).
+        # --force is the overwrite consent, so existing outputs (the normal
+        # re-render workflow) stay on the async path too.
         writer.submit(out_name, rgb8)
     else:
         prompt_overwrite_file(

@@ -24,11 +24,13 @@ def checked_render(params: SceneParams, static: StaticConfig, star_grid=None):
 
     from blackstar_tpu.render import render
 
-    def fn(p):
-        return render(p, static, star_grid, differentiable=True, use_pallas=False)
+    # The grid rides as a jit ARGUMENT: a closed-over full-scale star grid
+    # would be baked in as hundreds of MB of constants (CLAUDE.md rule).
+    def fn(p, g):
+        return render(p, static, g, differentiable=True, use_pallas=False)
 
     checked = checkify.checkify(fn, errors=checkify.float_checks)
-    err, img = jax.jit(checked)(params)
+    err, img = jax.jit(checked)(params, star_grid)
     err.throw()
     return img
 
@@ -37,5 +39,9 @@ def render_hlo(params: SceneParams, static: StaticConfig, star_grid=None) -> str
     """Optimised HLO text of the production render — for perf inspection."""
     from blackstar_tpu.render import render
 
-    lowered = jax.jit(lambda p: render(p, static, star_grid)).lower(params)
+    # Grid as an argument (not a constant) — keeps the dump readable and
+    # the compile request small at full catalogue scale.
+    lowered = jax.jit(
+        lambda p, g: render(p, static, g)
+    ).lower(params, star_grid)
     return lowered.compile().as_text()

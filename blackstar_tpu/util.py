@@ -15,6 +15,12 @@ def prompt_overwrite_file(path: str, do_write: Callable[[str], None], force: boo
     if force or not os.path.exists(path):
         do_write(path)
         return True
+    if not sys.stdin.isatty():
+        # Non-interactive run (nohup/CI): take the prompt's safe default
+        # instead of crashing a long batch with EOFError mid-run.
+        print(f"{path} exists and stdin is not a terminal — not overwriting "
+              "(pass --force to overwrite).")
+        return False
     answer = input(f"Overwrite {path}? [y/N] ")
     if answer in ("y", "Y"):
         do_write(path)
@@ -55,12 +61,12 @@ def enable_compilation_cache() -> None:
     """
     import jax
 
-    if jax.config.jax_compilation_cache_dir:
-        return
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
     )
     try:
+        if jax.config.jax_compilation_cache_dir:
+            return  # the user already configured one
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
