@@ -38,10 +38,13 @@ class RenderStats(NamedTuple):
 
 # The p×g pixel-block schedule of the production star lookup
 # (stars/grid.lookup_grouped): ROW_BANDS image rows × STAR_GROUP consecutive
-# pixels share one gathered cell row. (2, 4) until the TPU sweep picks the
-# winner among 2×4 / 4×4 / 2×8 / 4×8 (scripts/sweep_star_machinery.py);
-# the committed artifact's 6 mrad margin covers all four at the flagship
-# framing, and per-ray validity keeps every schedule exact. STAR_GROUP is
+# pixels share one gathered cell row. (2, 4) is the measured v5e winner
+# (r3 hardware sweep, scripts/sweep_star_machinery.py --decide +
+# sweep_star_r3.py): 2×4 ≈ 39-42 ms/frame vs 1×4 ≈ 49, 4×4 ≈ 47,
+# 4×8 ≈ 55 — the larger blocks' extra invalid-fallback rays cost more
+# than the saved gathers. The committed artifact's 6 mrad margin covers
+# all four schedules at the flagship framing, and per-ray validity keeps
+# every schedule exact. STAR_GROUP is
 # an alias of the grid layer's GROUP — ONE constant governs the lookup
 # default, the shade() call, the eligibility spread, and the sharded deal;
 # flip it in stars/grid.py.

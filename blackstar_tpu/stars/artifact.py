@@ -27,9 +27,13 @@ CELL_SIZE = 0.006
 RADIUS = 0.0075
 K0 = 32
 # Production two-tier overflow split (octets kept in the tier-1 rows; see
-# StarGrid.ovf2_data). None = single-tier until the hardware sweep
-# (scripts/sweep_star_machinery.py) picks the winner — the split is a pure
-# load-time layout choice, the on-disk artifact is unchanged.
+# StarGrid.ovf2_data). None = single-tier — the measured v5e winner (r3
+# hardware sweep, scripts/sweep_star_r3.py): split 2/4 cost 74/49 ms/frame
+# vs 42 single-tier at the production schedule. Cutting gathered overflow
+# bytes 2× does not pay on this hardware because the overflow cost is the
+# block-compaction machinery, not the gather bytes; the second tier adds a
+# second such pass. The split stays a load-time choice for other
+# catalogues/hardware; the on-disk artifact is unchanged.
 OVF_SPLIT: Optional[int] = None
 
 
