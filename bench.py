@@ -20,8 +20,8 @@ process under a hard timeout: a hang or crash becomes a retryable failure,
 and a new process is the strongest possible backend reset.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "stars",
-"march_only_mrays", "ms_per_frame"}. Before any attempt, a ~90 s child
-liveness probe fails the whole bench in ~3 minutes when the tunnel is dead
+"march_only_mrays", "ms_per_frame"}. Before any attempt, a ~150 s child
+liveness probe fails the whole bench in ~5 minutes when the tunnel is dead
 instead of burning full attempt timeouts; if the full-pipeline stage dies
 after the march stage finished, the march-only partial line (tagged
 "partial": true) is emitted instead of nothing.
@@ -153,7 +153,9 @@ def measure() -> dict:
 # finishes in well under 10 minutes, so a hang is detected much sooner.
 ATTEMPT_TIMEOUT_COLD_S = 1200
 ATTEMPT_TIMEOUT_WARM_S = 600
-PROBE_TIMEOUT_S = 90
+# Healthy-tunnel backend init alone measured 73 s on this box (r3) — 90 s
+# left only 17 s of headroom before a live tunnel read as dead.
+PROBE_TIMEOUT_S = 150
 
 
 def _attempt_timeout() -> int:

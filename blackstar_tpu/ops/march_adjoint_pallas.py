@@ -55,13 +55,19 @@ ADJ_BLOCK_ROWS = 16  # 2048 rays/tile (best measured; ~2.5 MB VMEM scratch)
 ADJ_SEG_LEN = 16  # steps per checkpoint segment
 # Store RK4 stage positions during the segment replay (+9 planes ≈ +1.2 MB
 # VMEM at the default tile) so the VJP sweep skips its stage recompute.
-# False until the TPU sweep (scripts/sweep_adjoint.py) records the winner.
-ADJ_STORE_STAGES = False
-# Measured v5e @1080p, 601-step cap: ~120 ms (17.3 Mrays/s backward) with
-# segment-deferred disk shading (~125 ms inline) — the deferral win is
-# smaller than the forward kernel's because the VJP is dominated by the
-# doubled RK4 recomputation, not the blend math. Best across rows∈{8,16,32}
-# × seg∈{8,16,32} is the (16, 16) default.
+# True is the measured v5e winner (r3, scripts/sweep_adjoint.py): 112.8 ms
+# fwd+bwd @1080p vs 116.2 recompute — bitwise identical, gated.
+ADJ_STORE_STAGES = True
+# Measured v5e @1080p, 601-step cap (r3 sweep, K-in-dispatch): fwd+bwd
+# 112.8 ms (18.4 Mrays/s; bwd ≈ 82.7 ms) at the (16, 16) default, best
+# across rows∈{8,16,32} × seg∈{8,16,32} × store_stages. Removing ALL
+# primal RK4 recompute from the reverse sweep (store_stages) moved bwd
+# only 86.2 → 82.7 ms, so the old "recompute-bound" diagnosis was wrong:
+# the reverse sweep is compute-bound on the hand-derived VJP math itself
+# (~3.3× the forward march's 24.9 ms, matching the ~3× flop ratio of an
+# RK4-tableau reverse step) — i.e. the backward runs at roughly the same
+# per-flop efficiency as the forward kernel, and further tiling moves it
+# single-digit percent.
 
 # Lane layout of the per-tile scalar-partials output row.
 G_MASS = 0
