@@ -87,6 +87,68 @@ DEFAULT_CELL_SIZE = 0.008
 # the belt shrinks to a few percent.
 GROUP = 4
 
+# ---- fast cell ids ---------------------------------------------------------
+#
+# XLA's arcsin/arctan2 (full range reduction, ~1e-16 accuracy) measured
+# ~6 ms/frame of the grouped star stage on v5e — and dominate the per-ray
+# invalid fallback. Exactness does NOT require exact cell assignment: the
+# build halo guarantees every star within `radius` (chordal) of a cell's box
+# is in its candidate list, so a lookup through ANY cell whose box is within
+# `margin = radius − 3w` of the ray is exact (DESIGN.md §3). Exact ids give
+# distance 0; ids computed from an approximate (dec, ra) with angular error
+# ≤ ε only ever assign a box within ε of the ray. The approximations below
+# have a PROVEN bound (gated by tests/test_stars.py::test_fast_cell_id_bound
+# over dense+adversarial f32 sweeps):
+#
+#   * asin: Abramowitz–Stegun 4.4.45 sqrt-weighted cubic, |err| ≤ 6.8e-5
+#   * atan2: octant-folded odd minimax polynomial (7 even terms),
+#     |err| ≤ 5e-7 + f32 rounding
+#
+# Total assignment error ≤ _FAST_CELL_ERR (dec error + ra error·cos(dec) +
+# f32 evaluation noise, measured ≤ 9e-5; bound kept 2× above measurement).
+# The fast path is enabled only when margin ≥ _FAST_CELL_MIN_MARGIN and the
+# compute dtype carries ≥ f32 precision; small-margin grids keep the exact
+# transcendentals (their per-ray path relies on distance-0 assignment).
+_FAST_CELL_ERR = 2.0e-4
+_FAST_CELL_MIN_MARGIN = 15.0 * _FAST_CELL_ERR  # 3e-3; production margin 6e-3
+
+# A&S 4.4.45 coefficients (|asin err| ≤ 6.8e-5 on [0, 1]).
+_ASIN_C = (1.5707288, -0.2121144, 0.0742610, -0.0187293)
+# Chebyshev-fit atan(t)/t in t² on [0, 1], |err| ≤ 5e-7 (lowest order first).
+_ATAN_C = (0.99999933, -0.33326375, 0.19879872, -0.13480406,
+           0.08374156, -0.03689863, 0.00782548)
+
+
+def _fast_asin(z):
+    """asin with |error| ≤ 6.8e-5 rad and no transcendental lowering
+    (A&S 4.4.45): asin(x) = π/2 − √(1−x)·(a₀+a₁x+a₂x²+a₃x³) on [0,1],
+    odd-extended by sign."""
+    az = jnp.abs(z)
+    a0, a1, a2, a3 = _ASIN_C
+    p = a0 + az * (a1 + az * (a2 + az * a3))
+    r = jnp.pi / 2 - jnp.sqrt(jnp.maximum(1.0 - az, 0.0)) * p
+    return jnp.where(z < 0, -r, r)
+
+
+def _fast_ra(ny, nx):
+    """atan2(ny, nx) folded into [0, 2π), |error| ≤ ~1e-6 rad: octant
+    reduction (one divide) + odd minimax polynomial on [0, 1]."""
+    dt = nx.dtype
+    ax = jnp.abs(nx)
+    ay = jnp.abs(ny)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, jnp.asarray(1e-30, dt))
+    u = t * t
+    c = _ATAN_C
+    p = c[6]
+    for k in (5, 4, 3, 2, 1, 0):
+        p = c[k] + u * p
+    a = t * p  # atan in [0, π/4]
+    a = jnp.where(ay > ax, jnp.pi / 2 - a, a)
+    a = jnp.where(nx < 0, jnp.pi - a, a)
+    return jnp.where(ny < 0, 2.0 * jnp.pi - a, a)
+
 
 def _guard(ok, fast_val, slow_fn, differentiable: bool):
     """``fast_val`` if ``ok`` else ``slow_fn()``, with the slow branch
@@ -178,6 +240,20 @@ class StarGrid:
     # (vs ~23% for tier 1 on the default 1080p framing).
     ovf2_data: Optional[jax.Array] = None  # (R2, K2·8); row 0 = dummy
     ovf2_octets: Optional[jax.Array] = None  # (R2,) int32
+    # Tiny per-ring / per-column trig tables (attached by ``to_grid`` for
+    # f32/f64 grids) — replace the grouped validity stage's per-group
+    # cos/sin/arcsin center math with two small-table row gathers (small
+    # tables gather ~3× faster than big ones; sweep_gather.py). Computed in
+    # float64 offline, so MORE accurate than the runtime transcendentals
+    # they replace. ring_table (n_rings, 8):
+    #   [sin dec_c, cos dec_c, usable₀², sin dec₊, cos dec₊, sin dec₋,
+    #    cos dec₋, usable±²]
+    # where dec± = dec_c ± δ/4 are the centers of the two half-box balls of
+    # the 3-ball validity test and usable² the squared chordal admit radii
+    # (0.99·margin + inscribed radius, same slack family as the inline
+    # form). col_table (n_cols, 2): [cos ra_c, sin ra_c].
+    ring_table: Optional[jax.Array] = None
+    col_table: Optional[jax.Array] = None
 
     @property
     def pad_k(self) -> int:
@@ -228,23 +304,42 @@ class StarGrid:
                 f"{max_ptr} need {max_ptr.bit_length()} mantissa bits, "
                 f"{dt} has {mant}"
             )
+        # Trig tables stay at (at least) f32: their values feed the validity
+        # soundness argument, which half precision cannot carry — the
+        # half-dtype grouped path falls back to the inline transcendental
+        # form when the tables are absent.
+        tdt = dt if jnp.finfo(dt).nmant >= 23 else None
         return dataclasses.replace(
             self,
             cell_data=self.cell_data.astype(dt),
             ovf_data=self.ovf_data.astype(dt),
             ovf2_data=(None if self.ovf2_data is None
                        else self.ovf2_data.astype(dt)),
+            ring_table=(None if self.ring_table is None or tdt is None
+                        else self.ring_table.astype(tdt)),
+            col_table=(None if self.col_table is None or tdt is None
+                       else self.col_table.astype(tdt)),
         )
 
     def nbytes(self) -> int:
         n = self.cell_data.nbytes + self.ovf_data.nbytes
         if self.ovf2_data is not None:
             n += self.ovf2_data.nbytes
+        for t in (self.ring_table, self.col_table):
+            if t is not None:
+                n += t.nbytes
         return n
 
     def cell_ids(self, nvel: jnp.ndarray) -> jnp.ndarray:
         """Bucket id for unit directions (N, 3)."""
         return self._cell_ids_comp(nvel[..., 0], nvel[..., 1], nvel[..., 2])
+
+    def _fast_cells_ok(self, dt) -> bool:
+        """Whether the bounded-error fast cell ids keep lookups exact: the
+        build margin must absorb the assignment error (see the module note
+        above :func:`_fast_asin`) and the dtype must carry f32 precision."""
+        return (self.margin >= _FAST_CELL_MIN_MARGIN
+                and jnp.finfo(dt).nmant >= 23)
 
     def _cell_ids_comp(self, nx, ny, nz) -> jnp.ndarray:
         """Bucket id from unit-direction component planes: declination ring,
@@ -252,8 +347,12 @@ class StarGrid:
         dt = nx.dtype
         two_pi = 2.0 * jnp.pi
         delta = jnp.asarray(jnp.pi / self.n_rings, dt)
-        dec = jnp.arcsin(jnp.clip(nz, -1.0, 1.0))
-        ra = jnp.arctan2(ny, nx) % two_pi
+        if self._fast_cells_ok(dt):
+            dec = _fast_asin(jnp.clip(nz, -1.0, 1.0))
+            ra = _fast_ra(ny, nx)
+        else:
+            dec = jnp.arcsin(jnp.clip(nz, -1.0, 1.0))
+            ra = jnp.arctan2(ny, nx) % two_pi
         ring = jnp.clip(
             jnp.floor((dec + jnp.pi / 2) / delta).astype(jnp.int32),
             0,
@@ -653,6 +752,7 @@ class StarGrid:
         ovf_frac: float = 0.5,
         ovf_batch_blocks: int = 512,
         inv_batch_blocks: int = 256,
+        inv_ovf_block: int = 8,
         row_pitch: Optional[int] = None,
         row_bands: int = 2,
         differentiable: bool = False,
@@ -703,6 +803,7 @@ class StarGrid:
             invalid_frac=invalid_frac, ovf_frac=ovf_frac,
             ovf_batch_blocks=ovf_batch_blocks,
             inv_batch_blocks=inv_batch_blocks,
+            inv_ovf_block=inv_ovf_block,
             differentiable=differentiable, debug_stages=debug_stages,
         )
         vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
@@ -788,7 +889,7 @@ class StarGrid:
     def _grouped_parts(
         self, parts, actives, intensity, saturation, *,
         group, ray_block, group_block, invalid_frac, ovf_frac,
-        ovf_batch_blocks=512, inv_batch_blocks=256,
+        ovf_batch_blocks=512, inv_batch_blocks=256, inv_ovf_block=8,
         differentiable=False, debug_stages=None,
     ):
         """Grouped-lookup core over one or more ray *parts*.
@@ -856,26 +957,45 @@ class StarGrid:
         # list, so a ray is covered iff dist(ray, box) ≤ margin. Testing
         # against the box's inscribed ball (center c0, radius r_in) admits
         # every ray with |ray − c0| ≤ margin + r_in — ~2× more than testing
-        # against the representative point alone.
-        delta = jnp.asarray(jnp.pi / self.n_rings, dt)
-        ring = (repcell // self.n_cols).astype(dt)
-        col = (repcell % self.n_cols).astype(dt)
-        dec_c = -jnp.pi / 2 + (ring + 0.5) * delta
-        ra_c = (col + 0.5) * (2.0 * jnp.pi / self.n_cols)
-        cos_dec = jnp.cos(dec_c)
-        cx = cos_dec * jnp.cos(ra_c)
-        cy = cos_dec * jnp.sin(ra_c)
-        cz = jnp.sin(dec_c)
-        # Inscribed radius: half the smaller box extent (ring height δ, or
-        # the column arc shrunk by cos at the ring's far edge), with slack
-        # for the chordal-vs-angular approximations.
-        cos_edge = jnp.minimum(
-            jnp.abs(jnp.cos(dec_c - 0.5 * delta)),
-            jnp.abs(jnp.cos(dec_c + 0.5 * delta)),
-        )
-        col_w = (2.0 * jnp.pi / self.n_cols) * cos_edge
-        r_in = 0.45 * jnp.minimum(delta, col_w)
-        usable = jnp.asarray(self.margin * 0.99, dt) + r_in  # (G,)
+        # against the representative point alone. With the precomputed trig
+        # tables the test upgrades to THREE balls (center + the two dec-
+        # half-box balls — boxes are never wider than tall on the equirect
+        # layout, so dec is the long axis): strictly more admitted rays at
+        # ~2 extra subtract/dot tests per ray, zero transcendentals, and
+        # two tiny-table row gathers instead of five cos/sin per group.
+        pm_balls = None
+        if self.ring_table is not None:
+            rrow = self.ring_table[repcell // self.n_cols].astype(dt)
+            crow = self.col_table[repcell % self.n_cols].astype(dt)
+            cra, sra = crow[:, 0], crow[:, 1]
+            cx, cy, cz = rrow[:, 1] * cra, rrow[:, 1] * sra, rrow[:, 0]
+            usable2 = rrow[:, 2]
+            u2_pm = rrow[:, 7]
+            pm_balls = [
+                (rrow[:, 4] * cra, rrow[:, 4] * sra, rrow[:, 3], u2_pm),
+                (rrow[:, 6] * cra, rrow[:, 6] * sra, rrow[:, 5], u2_pm),
+            ]
+        else:
+            delta = jnp.asarray(jnp.pi / self.n_rings, dt)
+            ring = (repcell // self.n_cols).astype(dt)
+            col = (repcell % self.n_cols).astype(dt)
+            dec_c = -jnp.pi / 2 + (ring + 0.5) * delta
+            ra_c = (col + 0.5) * (2.0 * jnp.pi / self.n_cols)
+            cos_dec = jnp.cos(dec_c)
+            cx = cos_dec * jnp.cos(ra_c)
+            cy = cos_dec * jnp.sin(ra_c)
+            cz = jnp.sin(dec_c)
+            # Inscribed radius: half the smaller box extent (ring height δ,
+            # or the column arc shrunk by cos at the ring's far edge), with
+            # slack for the chordal-vs-angular approximations.
+            cos_edge = jnp.minimum(
+                jnp.abs(jnp.cos(dec_c - 0.5 * delta)),
+                jnp.abs(jnp.cos(dec_c + 0.5 * delta)),
+            )
+            col_w = (2.0 * jnp.pi / self.n_cols) * cos_edge
+            r_in = 0.45 * jnp.minimum(delta, col_w)
+            usable = jnp.asarray(self.margin * 0.99, dt) + r_in  # (G,)
+            usable2 = usable * usable
 
         # NOTE: a fused Pallas kernel for this base math was built and
         # measured in round 2 (group→lane expansion via one-hot MXU
@@ -895,10 +1015,16 @@ class StarGrid:
             dxr = nx4s[p] - cx[:, None]
             dyr = ny4s[p] - cy[:, None]
             dzr = nz4s[p] - cz[:, None]
-            valids.append(
-                dxr * dxr + dyr * dyr + dzr * dzr
-                <= (usable * usable)[:, None]
-            )  # (G, g) per part
+            ok = (dxr * dxr + dyr * dyr + dzr * dzr
+                  <= usable2[:, None])
+            if pm_balls is not None:
+                for bx, by, bz, bu2 in pm_balls:
+                    dxb = nx4s[p] - bx[:, None]
+                    dyb = ny4s[p] - by[:, None]
+                    dzb = nz4s[p] - bz[:, None]
+                    ok = ok | (dxb * dxb + dyb * dyb + dzb * dzb
+                               <= bu2[:, None])
+            valids.append(ok)  # (G, g) per part
 
         # Overflow of the rep cell, block-compacted over GROUPS — one pass
         # per tier (tier 2, when present, has ~7× rarer flags; see the
@@ -996,8 +1122,13 @@ class StarGrid:
 
             def inv_body(gsel):
                 # Batch-sized: row-gather the (G, g) ray views, flatten
-                # (small), recompute per ray against its OWN cell with
-                # full-width overflow (no nested compaction in the body).
+                # (small), recompute per ray against its OWN cell. Most
+                # fallback rays sit in the lensing belt, NOT the galactic
+                # band — their cells have no overflow, so a full-width
+                # overflow gather streams ~2.5 KB of dummy-row sentinels per
+                # ray; ``inv_ovf_block`` block-compacts that second gather
+                # to the rays that actually carry an overflow pointer
+                # (0 = the r3 full-width behaviour, kept as a sweep knob).
                 # All parts share ONE _per_ray_rgb call; the part split of
                 # the result is a cheap major-axis slice of a small array.
                 fxs = [nx4s[p][gsel].reshape(-1) for p in range(n_parts)]
@@ -1009,7 +1140,7 @@ class StarGrid:
                     jnp.concatenate(fys) if n_parts > 1 else fys[0],
                     jnp.concatenate(fzs) if n_parts > 1 else fzs[0],
                     intensity, saturation,
-                    ovf_block=0 if not differentiable else 8,
+                    ovf_block=inv_ovf_block if not differentiable else 8,
                     differentiable=differentiable,
                 )
                 return tuple(
@@ -1075,6 +1206,43 @@ class StarGrid:
             )
 
         return [_guard(ovf_ok & inv_ok, outs[0], slow, differentiable)]
+
+
+def _trig_tables(n_rings: int, n_cols: int, margin: float):
+    """Float64 per-ring / per-column trig tables for the grouped validity
+    stage (see the ``StarGrid.ring_table`` field note).
+
+    The admit radii keep the inline form's slack family: a chordal ball of
+    radius 0.45·min(angular extents) sits inside the angular box (0.45 vs
+    0.5 absorbs the chordal-vs-angular conversion), and the ± half-box
+    balls at dec_c ± δ/4 use the worst column arc over their own dec
+    band — so "within usable of a center" still implies "query disk covered
+    by the cell's candidate list"."""
+    delta = np.pi / n_rings
+    ring = np.arange(n_rings, dtype=np.float64)
+    dec_c = -np.pi / 2 + (ring + 0.5) * delta
+    col_arc = 2.0 * np.pi / n_cols
+
+    def col_w(lo, hi):
+        return col_arc * np.minimum(np.abs(np.cos(lo)), np.abs(np.cos(hi)))
+
+    r_in0 = 0.45 * np.minimum(delta,
+                              col_w(dec_c - 0.5 * delta, dec_c + 0.5 * delta))
+    r_p = 0.45 * np.minimum(0.5 * delta, col_w(dec_c, dec_c + 0.5 * delta))
+    r_m = 0.45 * np.minimum(0.5 * delta, col_w(dec_c - 0.5 * delta, dec_c))
+    u0 = 0.99 * margin + r_in0
+    u_pm = 0.99 * margin + np.minimum(r_p, r_m)
+    dec_p = dec_c + 0.25 * delta
+    dec_m = dec_c - 0.25 * delta
+    ring_table = np.stack(
+        [np.sin(dec_c), np.cos(dec_c), u0 * u0,
+         np.sin(dec_p), np.cos(dec_p), np.sin(dec_m), np.cos(dec_m),
+         u_pm * u_pm],
+        axis=1,
+    )
+    ra_c = (np.arange(n_cols, dtype=np.float64) + 0.5) * col_arc
+    col_table = np.stack([np.cos(ra_c), np.sin(ra_c)], axis=1)
+    return ring_table, col_table
 
 
 @dataclass
@@ -1210,12 +1378,22 @@ class CompactStarGrid:
                 f"pointers up to {max_ptr} need {max_ptr.bit_length()} "
                 f"mantissa bits, {jnp.dtype(dtype)} has {mant}"
             )
+        margin = max(0.0, float(self.radius) - 3.0 * float(self.psf_width))
+        rt = ct = None
+        if jnp.finfo(jnp.dtype(dtype)).nmant >= 23:
+            # Validity soundness can't ride half-precision table values —
+            # half-dtype grids keep the inline transcendental form.
+            tdt = np.float64 if jnp.dtype(dtype) == jnp.float64 else np.float32
+            rt, ct = _trig_tables(int(self.n_rings), int(self.n_cols), margin)
+            rt, ct = rt.astype(tdt), ct.astype(tdt)
         if device:
             dt = jnp.dtype(dtype)
             cd, od = jnp.asarray(base, dt), jnp.asarray(ovf, dt)
             oo = jnp.asarray(ovf_octets)
             od2 = None if ovf2 is None else jnp.asarray(ovf2, dt)
             oo2 = None if ovf2 is None else jnp.asarray(ovf2_octets)
+            rt = None if rt is None else jnp.asarray(rt)
+            ct = None if ct is None else jnp.asarray(ct)
         else:
             dt = np.dtype(dtype)
             cd, od = base.astype(dt), ovf.astype(dt)
@@ -1233,6 +1411,8 @@ class CompactStarGrid:
             radius=float(self.radius),
             ovf2_data=od2,
             ovf2_octets=oo2,
+            ring_table=rt,
+            col_table=ct,
         )
 
 

@@ -721,3 +721,113 @@ def test_grouped_lookup_odd_knobs_do_not_crash():
         got = grid.lookup_grouped(v, intensity=ii, saturation=ss, **kw)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-12, err_msg=str(kw))
+
+
+class TestFastCellIds:
+    """The bounded-error fast cell-id path (grid._fast_asin/_fast_ra):
+    margin-gated transcendental elimination for cell assignment. Exactness
+    rests on a PROVEN angular error bound ≪ margin — gate the bound itself
+    and the end-to-end results against the float64 brute-force oracle."""
+
+    def test_error_bound_dense_and_adversarial(self):
+        from blackstar_tpu.stars.grid import (_FAST_CELL_ERR, _fast_asin,
+                                              _fast_ra)
+
+        rng = np.random.default_rng(7)
+        # Declination: dense sweep + adversarial near-pole values (the
+        # sqrt(1−|z|) weight is the numerically delicate part in f32).
+        z = np.concatenate([
+            np.linspace(-1.0, 1.0, 1_000_001),
+            1.0 - 10.0 ** rng.uniform(-10, 0, 100_000),
+            -(1.0 - 10.0 ** rng.uniform(-10, 0, 100_000)),
+        ]).astype(np.float32)
+        dec = np.asarray(_fast_asin(jnp.asarray(z)), np.float64)
+        err_dec = np.abs(dec - np.arcsin(np.clip(z.astype(np.float64), -1, 1)))
+
+        # Right ascension: random unit directions at all declinations,
+        # including near-pole (tiny |x|,|y| — the scale-invariant fold must
+        # not lose arc accuracy there) and near-axis octant boundaries.
+        v = rng.normal(size=(500_000, 3))
+        v[:50_000, 2] = np.sign(v[:50_000, 2]) * (
+            1.0 - 10.0 ** rng.uniform(-8, -2, 50_000)
+        )
+        v[50_000:100_000, 0] *= 1e-6  # |y| >> |x| fold boundary
+        v[100_000:150_000, 1] *= 1e-6
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        v32 = v.astype(np.float32)
+        ra = np.asarray(
+            _fast_ra(jnp.asarray(v32[:, 1]), jnp.asarray(v32[:, 0])),
+            np.float64,
+        )
+        x64 = v32[:, 0].astype(np.float64)
+        y64 = v32[:, 1].astype(np.float64)
+        ra_true = np.mod(np.arctan2(y64, x64), 2 * np.pi)
+        dra = np.abs(ra - ra_true)
+        dra = np.minimum(dra, 2 * np.pi - dra)  # wrap
+        cosd = np.sqrt(x64 * x64 + y64 * y64)  # cos(dec) of the direction
+        err_arc = dra * cosd
+
+        total = err_dec.max() + err_arc.max()
+        assert total <= _FAST_CELL_ERR, (err_dec.max(), err_arc.max())
+        # The gate margin must dominate the bound by the documented factor.
+        from blackstar_tpu.stars.grid import _FAST_CELL_MIN_MARGIN
+
+        assert _FAST_CELL_MIN_MARGIN >= 10 * _FAST_CELL_ERR
+
+    def test_fast_path_matches_bruteforce(self):
+        """Production-like margin grid → fast ids are in play on BOTH the
+        per-ray and grouped paths; gate directly against the f64 oracle
+        (grouped-vs-per-ray alone would not catch a shared wrong cell)."""
+        cat = _random_catalog(400, seed=31, clusters=True)
+        grid = build_star_grid(cat, dtype=jnp.float64, radius=0.0075,
+                               cell_size=0.006)
+        assert grid._fast_cells_ok(jnp.float64)
+        assert grid.ring_table is not None  # 3-ball validity active too
+        rng = np.random.default_rng(32)
+        dirs = np.concatenate([
+            cat.pos[rng.integers(0, cat.n_stars, 96)]
+            + 4e-4 * rng.normal(size=(96, 3)),
+            rng.normal(size=(32, 3)),
+        ])
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        want = np.stack([oracle.star_lookup(cat, 0.7, 0.9, d) for d in dirs])
+        got = np.asarray(
+            grid.lookup(jnp.asarray(dirs), jnp.float64(0.7), jnp.float64(0.9))
+        )
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        got_g = np.asarray(grid.lookup_grouped(
+            jnp.asarray(dirs), jnp.float64(0.7), jnp.float64(0.9),
+        ))
+        np.testing.assert_allclose(got_g, want, atol=1e-12)
+
+    def test_small_margin_grid_keeps_exact_ids(self):
+        cat = _random_catalog(50, seed=33)
+        grid = build_star_grid(cat, dtype=jnp.float64)  # margin 0
+        assert not grid._fast_cells_ok(jnp.float64)
+
+    def test_poles_and_wrap_through_fast_path(self):
+        """Pole stars and RA-wrap straddlers with a margin grid (fast ids)."""
+        eps = 3e-4
+        pos = np.array([
+            [0.0, 0.0, 1.0],
+            [0.0, 0.0, -1.0],
+            ra_dec_to_cartesian(np.float64(2 * math.pi - 1e-5),
+                                np.float64(0.1)),
+            ra_dec_to_cartesian(np.float64(1e-5), np.float64(-0.2)),
+        ])
+        cat = Catalog(
+            pos=pos / np.linalg.norm(pos, axis=-1, keepdims=True),
+            mag=np.array([900, 900, 900, 900], np.int32),
+            hue=np.array([0.631, 0.628, 0.094, 0.0]),
+            sat=np.array([0.39, 0.33, 0.56, 0.0]),
+        )
+        rng = np.random.default_rng(34)
+        probes = np.repeat(cat.pos, 8, axis=0) + eps * rng.normal(size=(32, 3))
+        probes /= np.linalg.norm(probes, axis=-1, keepdims=True)
+        grid = build_star_grid(cat, dtype=jnp.float64, radius=0.0075,
+                               cell_size=0.006)
+        assert grid._fast_cells_ok(jnp.float64)
+        want = np.stack([oracle.star_lookup(cat, 0.7, 0.7, d) for d in probes])
+        got = np.asarray(grid.lookup(jnp.asarray(probes), jnp.float64(0.7),
+                                     jnp.float64(0.7)))
+        np.testing.assert_allclose(got, want, atol=1e-12)
