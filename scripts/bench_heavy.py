@@ -25,7 +25,7 @@ K = 4
 
 def main():
     from blackstar_tpu.config import load_config
-    from blackstar_tpu.ops.filters import bloom, supersample
+    from blackstar_tpu.ops.filters import bloom
     from blackstar_tpu.render import render
     from blackstar_tpu.stars.artifact import default_star_grid
     from blackstar_tpu.util import enable_compilation_cache
@@ -33,6 +33,12 @@ def main():
     enable_compilation_cache()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     grid = default_star_grid()
+    # A missing catalogue/cache would silently shade an EMPTY sky and report
+    # "full pipeline" numbers that exclude the star stage entirely.
+    assert grid is not None, (
+        "star grid unavailable — run blackstar_tpu.stars.artifact."
+        "ensure_star_grid() (needs stars.ppm / stars.grid.npz in the repo)"
+    )
 
     def measure(name, cfg_path, resolution=None):
         cfg = load_config(cfg_path)
@@ -47,9 +53,11 @@ def main():
         def k_frames(p, g):
             def body(i, acc):
                 p2 = dataclasses.replace(p, mass=p.mass + 1e-7 * i)
+                # render() applies the supersample downsample itself when
+                # static.supersampling (a second one here would also shrink
+                # the bloom to quarter resolution — the r3 default-aa row
+                # was measured with that bug, see BASELINE.md).
                 img = render(p2, static, g)
-                if static.supersampling:
-                    img = supersample(img)
                 img = bloom(img, p2.bloom_strength.astype(img.dtype),
                             static.bloom_divider)
                 return acc + jnp.sum(img)

@@ -111,3 +111,56 @@ def test_written_tree_is_a_valid_kd_tree(tmp_path):
     sys.setrecursionlimit(10000)
     node(0)
     assert struct.unpack(">q", buf[off[0]:off[0] + 8])[0] == 129
+
+
+def test_foreign_fixture_parses_and_enters_pipeline():
+    """Committed fixtures assembled by an INDEPENDENT generator
+    (scripts/make_kdt_fixture.py: inline struct.pack from the cereal spec,
+    hand-drawn unbalanced topology write_kdt can't produce, both
+    constructor-tag assignments) must parse to the same 7-star catalogue
+    and shade correctly through the star pipeline (VERDICT r3 missing #2)."""
+    import math
+    import os
+
+    import jax.numpy as jnp
+
+    from blackstar_tpu.stars.catalog import spectral_color
+    from blackstar_tpu.stars.grid import build_star_grid
+    from tests import oracle
+
+    def unit(ra, dec):
+        return np.array([math.cos(dec) * math.cos(ra),
+                         math.cos(dec) * math.sin(ra), math.sin(dec)])
+
+    # The generator's star set (pos, mag, class), order-independent.
+    want = {
+        (tuple(np.round(unit(0.1, 0.2), 12)), 520, "G"),
+        (tuple(np.round(unit(6.2, -0.3), 12)), 900, "M"),
+        (tuple(np.round(unit(3.3, 1.4), 12)), 150, "O"),
+        (tuple(np.round(unit(1.0, 0.0), 12)), 1200, "?"),
+        (tuple(np.round(unit(2.0, -1.5), 12)), 700, "K"),
+        (tuple(np.round(unit(4.4, 0.9), 12)), 333, "A"),
+        (tuple(np.round(unit(5.5, -0.1), 12)), 444, "B"),
+    }
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    cats = []
+    for name in ("foreign_stars_emptyfirst.kdt", "foreign_stars_nodefirst.kdt"):
+        cat = read_kdt(os.path.join(fixtures, name))
+        assert cat.n_stars == 7
+        got = set()
+        for i in range(7):
+            ch = [c for c in "OBAFGKM?"
+                  if spectral_color(c) == (cat.hue[i], cat.sat[i])][0]
+            got.add((tuple(np.round(cat.pos[i], 12)), int(cat.mag[i]), ch))
+        assert got == want, name
+        cats.append(cat)
+
+    # And into the pipeline: grid lookups at the stars match the oracle.
+    cat = cats[0]
+    grid = build_star_grid(cat, dtype=jnp.float64)
+    probes = cat.pos + 2e-4
+    probes /= np.linalg.norm(probes, axis=-1, keepdims=True)
+    got = np.asarray(grid.lookup(jnp.asarray(probes), jnp.float64(0.7),
+                                 jnp.float64(0.7)))
+    ref = np.stack([oracle.star_lookup(cat, 0.7, 0.7, d) for d in probes])
+    np.testing.assert_allclose(got, ref, atol=1e-12)
