@@ -473,7 +473,7 @@ class StarGrid:
         return jnp.max(octs[optr])
 
     def _batched_blocks(self, dt, bf, pos, block, body_fn, per_unit,
-                        batch_blocks, n_bufs=3):
+                        batch_blocks, n_bufs=3, skip_if_empty=False):
         """Pay-as-you-go block compaction: process only the flagged blocks,
         in ``batch_blocks``-sized while_loop batches, and merge results back
         with a block-row gather. Cost scales with the ACTUAL flagged count
@@ -485,36 +485,53 @@ class StarGrid:
         channel values (unit-major). Returns n_bufs × (nb·block·per_unit,)
         adds, zero outside flagged blocks. Not reverse-mode differentiable
         (the while_loop) — callers keep a capacity-based variant for AD.
+
+        ``skip_if_empty``: wrap the whole apparatus (nonzero, buffers,
+        batch loop, merge gathers) in a 0/1-trip guard on ``any(bf)``.
+        Measured r4c on v5e: the apparatus costs ~9 ms/frame at ZERO
+        flagged blocks (materialisation boundaries in the chunk pipeline),
+        and the invalid-fallback flags are belt-localised — most chunks
+        have none — so their pass guards; the overflow flags cover most
+        chunks (galactic band), so that pass doesn't bother.
         """
         nb = bf.shape[0]
         b = min(batch_blocks, nb)
         nb_pad = -(-nb // b) * b
-        bsel = jnp.nonzero(bf, size=nb_pad, fill_value=nb - 1)[0]
-        n_used = jnp.sum(bf)
         width = block * per_unit
-        bufs = tuple(jnp.zeros((nb_pad * width,), dt) for _ in range(n_bufs))
 
-        def cond_fn(c):
-            return c[0] * b < n_used
-
-        def body(c):
-            i, bufs = c
-            blks = jax.lax.dynamic_slice_in_dim(bsel, i * b, b)
-            uids = (blks[:, None] * block + jnp.arange(block)).reshape(-1)
-            vals = body_fn(uids)
+        def run():
+            bsel = jnp.nonzero(bf, size=nb_pad, fill_value=nb - 1)[0]
+            n_used = jnp.sum(bf)
             bufs = tuple(
-                jax.lax.dynamic_update_slice(bf_, v, (i * b * width,))
-                for bf_, v in zip(bufs, vals)
+                jnp.zeros((nb_pad * width,), dt) for _ in range(n_bufs)
             )
-            return (i + 1, bufs)
 
-        _, bufs = jax.lax.while_loop(cond_fn, body, (jnp.int32(0), bufs))
+            def cond_fn(c):
+                return c[0] * b < n_used
 
-        def merge(buf):
-            rows = buf.reshape(nb_pad, width)[jnp.minimum(pos, nb_pad - 1)]
-            return jnp.where(bf[:, None], rows, 0.0).reshape(-1)
+            def body(c):
+                i, bufs = c
+                blks = jax.lax.dynamic_slice_in_dim(bsel, i * b, b)
+                uids = (blks[:, None] * block + jnp.arange(block)).reshape(-1)
+                vals = body_fn(uids)
+                bufs = tuple(
+                    jax.lax.dynamic_update_slice(bf_, v, (i * b * width,))
+                    for bf_, v in zip(bufs, vals)
+                )
+                return (i + 1, bufs)
 
-        return tuple(merge(buf) for buf in bufs)
+            _, bufs = jax.lax.while_loop(cond_fn, body, (jnp.int32(0), bufs))
+
+            def merge(buf):
+                rows = buf.reshape(nb_pad, width)[jnp.minimum(pos, nb_pad - 1)]
+                return jnp.where(bf[:, None], rows, 0.0).reshape(-1)
+
+            return tuple(merge(buf) for buf in bufs)
+
+        if not skip_if_empty:
+            return run()
+        zeros = tuple(jnp.zeros((nb * width,), dt) for _ in range(n_bufs))
+        return _guard(~jnp.any(bf), zeros, run, differentiable=False)
 
     def _base_math(self, rows2d, planes, intensity, saturation, accs):
         """Candidate math over the base table's K0 slots: unrolled when
@@ -527,15 +544,24 @@ class StarGrid:
 
     def _per_ray_rgb(self, nx, ny, nz, intensity, saturation,
                      ovf_block: int = 8, ovf_frac: float = 0.5,
-                     differentiable: bool = False):
+                     differentiable: bool = False, mask=None):
         """Unclamped per-ray RGB accumulators (ar, ag, ab) for unit
         direction planes — own-cell base row plus its overflow row. Used on
         (already compacted) subsets; the overflow gather is block-compacted
         once more (most fallback rays are in the lensing belt, not the
-        galactic band), with an exact full-width guarded fallback."""
+        galactic band), with an exact full-width guarded fallback.
+
+        ``mask`` (optional, (m,) bool): rays whose result the caller will
+        DISCARD (block-granular billing admits ~5× more rays than are
+        invalid on the production frame). Masked-off rays are steered to
+        cell 0 / overflow row 0 — one repeatedly-gathered (cached) row
+        instead of ~3.5 KB of unique table bytes each — and drop out of
+        the batch octet bound. Their outputs are garbage by design."""
         dt = nx.dtype
         m = nx.shape[0]
         cell = self._cell_ids_comp(nx, ny, nz)
+        if mask is not None:
+            cell = jnp.where(mask, cell, 0)
         # Pointers are read from the RAW gathered rows (grid dtype) before
         # the cast to the ray dtype: a low-mantissa ray dtype (bf16/f16)
         # would silently round pointer values and mis-gather overflow rows.
@@ -547,6 +573,10 @@ class StarGrid:
         )
         for tbl, octs, pcol in self._ovf_tiers():
             optr = raw[:, pcol].astype(jnp.int32)
+            if mask is not None:
+                # Cell 0 may itself carry overflow; discarded rays must not
+                # drag its (or any) row depth into the batch octet bound.
+                optr = jnp.where(mask, optr, 0)
             if not ovf_block or m % ovf_block or m < 8 * ovf_block:
                 # Full-width overflow row per ray (row 0 = all-sentinel dummy).
                 orow = tbl[optr].astype(dt)
@@ -752,7 +782,8 @@ class StarGrid:
         ovf_frac: float = 0.5,
         ovf_batch_blocks: int = 512,
         inv_batch_blocks: int = 256,
-        inv_ovf_block: int = 8,
+        inv_ovf_block: int = 0,
+        inv_mask_steer: bool = False,
         row_pitch: Optional[int] = None,
         row_bands: int = 2,
         differentiable: bool = False,
@@ -803,7 +834,7 @@ class StarGrid:
             invalid_frac=invalid_frac, ovf_frac=ovf_frac,
             ovf_batch_blocks=ovf_batch_blocks,
             inv_batch_blocks=inv_batch_blocks,
-            inv_ovf_block=inv_ovf_block,
+            inv_ovf_block=inv_ovf_block, inv_mask_steer=inv_mask_steer,
             differentiable=differentiable, debug_stages=debug_stages,
         )
         vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
@@ -840,11 +871,39 @@ class StarGrid:
         )
         return out
 
+    def _norm_views(self, parts, actives, g):
+        """Normalised (G, g) component views of each part's rays — free
+        row-major reshapes of the flat ray order; dead lanes get a harmless
+        probe direction. Shared by the grouped core and the frame-level
+        invalid pass (bitwise-identical op sequences ⇒ identical values)."""
+        dt = parts[0][0].dtype
+        n_groups = parts[0][0].shape[0] // g
+        nx4s, ny4s, nz4s = [], [], []
+        for (vx, vy, vz), act in zip(parts, actives):
+            if act is not None:
+                one = jnp.ones((), dt)
+                vx = jnp.where(act, vx, one)
+                vy = jnp.where(act, vy, one)
+                vz = jnp.where(act, vz, one)
+            inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+            nx4s.append((vx * inv).reshape(n_groups, g))
+            ny4s.append((vy * inv).reshape(n_groups, g))
+            nz4s.append((vz * inv).reshape(n_groups, g))
+        return nx4s, ny4s, nz4s
+
     def _run_parts(self, parts, actives, intensity, saturation, *,
                    chunk, align, kw):
         """Pad each part to ``align``, split into at most ``chunk``-ray
         ``lax.map`` chunks, and run :meth:`_grouped_parts`. Returns per-part
-        (n, 3) colours."""
+        (n, 3) colours.
+
+        Negative result (r4e, v5e): hoisting the invalid fallback OUT of
+        the chunk map to run once per frame — motivated by its ~9 ms
+        apparatus floor at zero flagged blocks — measured 43.4 vs 38.2
+        ms/frame in-chunk: the full-frame sum/mask buffers materialised
+        across the map boundary plus the frame-level re-normalisation cost
+        more than the 16× apparatus they saved. The machinery was removed
+        (same precedent as the r2 Z-order permutation); see DESIGN.md §3."""
         dt = parts[0][0].dtype
         n = parts[0][0].shape[0]
         # Every lax.map chunk must itself satisfy the block alignment.
@@ -883,13 +942,78 @@ class StarGrid:
 
             outs = jax.lax.map(step, (*flat, *acts))
             return [o.reshape(n_pad, 3)[:n] for o in outs]
-        outs = self._grouped_parts(parts, actives, intensity, saturation, **kw)
+        outs = self._grouped_parts(parts, actives, intensity, saturation,
+                                   **kw)
         return [o[:n] for o in outs]
+
+    def _invalid_fallback(self, chTs, inv_rays, nx4s, ny4s, nz4s, intensity,
+                          saturation, *, g, gt, ray_block, inv_batch_blocks,
+                          inv_ovf_block, inv_mask_steer, dt):
+        """Exact per-ray recompute of the invalid (lensing-belt) rays,
+        while-batched at (ray_block//gt)-group block granularity; returns
+        ``chTs`` with invalid lanes replaced. Forward-only (the while_loop
+        has no VJP). Runs once per frame when the chunked grouped path
+        defers it (r4d), or per chunk on the direct path.
+
+        Body notes (all r4-measured, DESIGN.md §3): block billing admits
+        ~5× more rays than are invalid and the merge discards the extras —
+        ``inv_mask_steer`` steers those to one row (flat on v5e: identical-
+        row gathers don't dedupe, default off); ``inv_ovf_block`` block-
+        compacts the overflow gather (nested machinery loses, default 0 =
+        full-width rows)."""
+        n_parts = len(nx4s)
+        n_groups = nx4s[0].shape[0]
+        n = n_groups * g
+        gpb = max(1, ray_block // gt)  # groups per block
+        nbr = n_groups // gpb
+        inv_any = inv_rays[0].any(axis=1)
+        for ir in inv_rays[1:]:
+            inv_any = inv_any | ir.any(axis=1)
+        ibf = inv_any.reshape(nbr, gpb).any(axis=1)
+        ipos = jnp.cumsum(ibf) - 1
+
+        def inv_body(gsel):
+            # Row-gather the (G, g) ray views, flatten (small), recompute
+            # per ray against its OWN cell. All parts share ONE
+            # _per_ray_rgb call; the part split of the result is a cheap
+            # major-axis slice of a small array.
+            fxs = [nx4s[p][gsel].reshape(-1) for p in range(n_parts)]
+            fys = [ny4s[p][gsel].reshape(-1) for p in range(n_parts)]
+            fzs = [nz4s[p][gsel].reshape(-1) for p in range(n_parts)]
+            fms = [inv_rays[p][gsel].reshape(-1) for p in range(n_parts)]
+            m1 = fxs[0].shape[0]
+            facc = self._per_ray_rgb(
+                jnp.concatenate(fxs) if n_parts > 1 else fxs[0],
+                jnp.concatenate(fys) if n_parts > 1 else fys[0],
+                jnp.concatenate(fzs) if n_parts > 1 else fzs[0],
+                intensity, saturation,
+                ovf_block=inv_ovf_block,
+                mask=((jnp.concatenate(fms) if n_parts > 1 else fms[0])
+                      if inv_mask_steer else None),
+            )
+            return tuple(
+                c[p * m1:(p + 1) * m1]
+                for p in range(n_parts) for c in facc
+            )
+
+        flat_f = self._batched_blocks(
+            dt, ibf, ipos, gpb, inv_body, per_unit=g, n_bufs=3 * n_parts,
+            batch_blocks=inv_batch_blocks, skip_if_empty=True,
+        )
+        inv_flats = [ir.reshape(n) for ir in inv_rays]
+        return [
+            tuple(
+                jnp.where(inv_flats[p], flat_f[3 * p + c], chTs[p][c])
+                for c in range(3)
+            )
+            for p in range(n_parts)
+        ]
 
     def _grouped_parts(
         self, parts, actives, intensity, saturation, *,
         group, ray_block, group_block, invalid_frac, ovf_frac,
-        ovf_batch_blocks=512, inv_batch_blocks=256, inv_ovf_block=8,
+        ovf_batch_blocks=512, inv_batch_blocks=256, inv_ovf_block=0,
+        inv_mask_steer=False, defer_invalid=False,
         differentiable=False, debug_stages=None,
     ):
         """Grouped-lookup core over one or more ray *parts*.
@@ -922,27 +1046,19 @@ class StarGrid:
         intensity = intensity.astype(dt)
         saturation = saturation.astype(dt)
 
-        # (G, g)-shaped ray views — free row-major reshapes of the flat ray
-        # order. Math broadcasts each gathered row's columns over the
-        # trailing in-group axis inside the octet scan; the representative
-        # direction is the (normalised) mean over ALL the group's rays — a
-        # minor-axis reduce, ~10× cheaper than a strided every-g-th slice
-        # on TPU (any deinterleaving of flat arrays measured ~2 GB/s).
-        nx4s, ny4s, nz4s = [], [], []
+        # (G, g)-shaped ray views (:meth:`_norm_views`) — free row-major
+        # reshapes of the flat ray order. Math broadcasts each gathered
+        # row's columns over the trailing in-group axis inside the octet
+        # scan; the representative direction is the (normalised) mean over
+        # ALL the group's rays — a minor-axis reduce, ~10× cheaper than a
+        # strided every-g-th slice on TPU (any deinterleaving of flat
+        # arrays measured ~2 GB/s).
+        nx4s, ny4s, nz4s = self._norm_views(parts, actives, g)
         repx = repy = repz = 0.0
-        for (vx, vy, vz), act in zip(parts, actives):
-            if act is not None:
-                one = jnp.ones((), dt)
-                vx = jnp.where(act, vx, one)
-                vy = jnp.where(act, vy, one)
-                vz = jnp.where(act, vz, one)
-            inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
-            nx4s.append((vx * inv).reshape(n_groups, g))
-            ny4s.append((vy * inv).reshape(n_groups, g))
-            nz4s.append((vz * inv).reshape(n_groups, g))
-            repx = repx + nx4s[-1].mean(axis=-1)
-            repy = repy + ny4s[-1].mean(axis=-1)
-            repz = repz + nz4s[-1].mean(axis=-1)
+        for p in range(n_parts):
+            repx = repx + nx4s[p].mean(axis=-1)
+            repy = repy + ny4s[p].mean(axis=-1)
+            repz = repz + nz4s[p].mean(axis=-1)
         rinv = jax.lax.rsqrt(repx * repx + repy * repy + repz * repz)
         # A degenerate (near-zero) mean yields NaN/garbage cell ids; the
         # validity test then fails those rays into the exact per-ray
@@ -1109,58 +1225,43 @@ class StarGrid:
 
         inv_ok = jnp.asarray(True)
         if on("invalid"):
-            # Invalid rays (the strong-lensing belt, where in-group escape
-            # directions diverge beyond the margin): exact per-ray
-            # recompute, compacted at (ray_block//gt)-group granularity.
-            gpb = max(1, ray_block // gt)  # groups per block
-            nbr = n_groups // gpb
-            inv_any = inv_rays[0].any(axis=1)
-            for ir in inv_rays[1:]:
-                inv_any = inv_any | ir.any(axis=1)
-            ibf = inv_any.reshape(nbr, gpb).any(axis=1)
-            ipos = jnp.cumsum(ibf) - 1
-
-            def inv_body(gsel):
-                # Batch-sized: row-gather the (G, g) ray views, flatten
-                # (small), recompute per ray against its OWN cell. Most
-                # fallback rays sit in the lensing belt, NOT the galactic
-                # band — their cells have no overflow, so a full-width
-                # overflow gather streams ~2.5 KB of dummy-row sentinels per
-                # ray; ``inv_ovf_block`` block-compacts that second gather
-                # to the rays that actually carry an overflow pointer
-                # (0 = the r3 full-width behaviour, kept as a sweep knob).
-                # All parts share ONE _per_ray_rgb call; the part split of
-                # the result is a cheap major-axis slice of a small array.
-                fxs = [nx4s[p][gsel].reshape(-1) for p in range(n_parts)]
-                fys = [ny4s[p][gsel].reshape(-1) for p in range(n_parts)]
-                fzs = [nz4s[p][gsel].reshape(-1) for p in range(n_parts)]
-                m1 = fxs[0].shape[0]
-                facc = self._per_ray_rgb(
-                    jnp.concatenate(fxs) if n_parts > 1 else fxs[0],
-                    jnp.concatenate(fys) if n_parts > 1 else fys[0],
-                    jnp.concatenate(fzs) if n_parts > 1 else fzs[0],
-                    intensity, saturation,
-                    ovf_block=inv_ovf_block if not differentiable else 8,
-                    differentiable=differentiable,
-                )
-                return tuple(
-                    c[p * m1:(p + 1) * m1]
-                    for p in range(n_parts) for c in facc
-                )
-
             if not differentiable:
-                flat_f = self._batched_blocks(
-                    dt, ibf, ipos, gpb, inv_body, per_unit=g,
-                    batch_blocks=inv_batch_blocks, n_bufs=3 * n_parts,
+                chTs = self._invalid_fallback(
+                    chTs, inv_rays, nx4s, ny4s, nz4s, intensity, saturation,
+                    g=g, gt=gt, ray_block=ray_block,
+                    inv_batch_blocks=inv_batch_blocks,
+                    inv_ovf_block=inv_ovf_block,
+                    inv_mask_steer=inv_mask_steer, dt=dt,
                 )
-                chTs = [
-                    tuple(
-                        jnp.where(inv_flats[p], flat_f[3 * p + c], chTs[p][c])
-                        for c in range(3)
-                    )
-                    for p in range(n_parts)
-                ]
             else:
+                gpb = max(1, ray_block // gt)  # groups per block
+                nbr = n_groups // gpb
+                inv_any = inv_rays[0].any(axis=1)
+                for ir in inv_rays[1:]:
+                    inv_any = inv_any | ir.any(axis=1)
+                ibf = inv_any.reshape(nbr, gpb).any(axis=1)
+                ipos = jnp.cumsum(ibf) - 1
+
+                def inv_body(gsel):
+                    fxs = [nx4s[p][gsel].reshape(-1)
+                           for p in range(n_parts)]
+                    fys = [ny4s[p][gsel].reshape(-1)
+                           for p in range(n_parts)]
+                    fzs = [nz4s[p][gsel].reshape(-1)
+                           for p in range(n_parts)]
+                    m1 = fxs[0].shape[0]
+                    facc = self._per_ray_rgb(
+                        jnp.concatenate(fxs) if n_parts > 1 else fxs[0],
+                        jnp.concatenate(fys) if n_parts > 1 else fys[0],
+                        jnp.concatenate(fzs) if n_parts > 1 else fzs[0],
+                        intensity, saturation, ovf_block=8,
+                        differentiable=True,
+                    )
+                    return tuple(
+                        c[p * m1:(p + 1) * m1]
+                        for p in range(n_parts) for c in facc
+                    )
+
                 mbr = max(1, int(nbr * invalid_frac))
                 isel = jnp.nonzero(ibf, size=mbr, fill_value=nbr)[0]
                 ipos_c = jnp.minimum(ipos, mbr - 1)
