@@ -58,16 +58,22 @@ ADJ_SEG_LEN = 16  # steps per checkpoint segment
 # True is the measured v5e winner (r3, scripts/sweep_adjoint.py): 112.8 ms
 # fwd+bwd @1080p vs 116.2 recompute — bitwise identical, gated.
 ADJ_STORE_STAGES = True
-# Measured v5e @1080p, 601-step cap (r3 sweep, K-in-dispatch): fwd+bwd
-# 112.8 ms (18.4 Mrays/s; bwd ≈ 82.7 ms) at the (16, 16) default, best
-# across rows∈{8,16,32} × seg∈{8,16,32} × store_stages. Removing ALL
-# primal RK4 recompute from the reverse sweep (store_stages) moved bwd
-# only 86.2 → 82.7 ms, so the old "recompute-bound" diagnosis was wrong:
-# the reverse sweep is compute-bound on the hand-derived VJP math itself
-# (~3.3× the forward march's 24.9 ms, matching the ~3× flop ratio of an
-# RK4-tableau reverse step) — i.e. the backward runs at roughly the same
-# per-flop efficiency as the forward kernel, and further tiling moves it
-# single-digit percent.
+# Measured v5e @1080p, 601-step cap (r4 sweep, K-in-dispatch): fwd+bwd
+# 106.4 ms (19.5 Mrays/s; bwd ≈ 76.4 ms) at the (16, 16) default, best
+# across rows∈{8,16,32} × seg∈{8,16,32} × store_stages. History: the r3
+# sweep measured 112.8 (bwd 82.7) and established the reverse sweep is
+# compute-bound on the VJP math itself (removing ALL primal RK4 recompute
+# via store_stages moved bwd only 86.2 → 82.7); the r4 fused-stage
+# closed-form rk4_vjp (see its docstring — collapses the u-chain
+# bookkeeping, drops the per-stage divide) bought a further 82.7 → 76.4.
+# The remaining reverse cost is ~3.05× the 24.9 ms forward: four
+# symmetric-Jacobian applications + the cotangent chain is ~2.2× the
+# forward flops by count, and the reverse carry (18 planes vs the
+# forward's 13) adds register pressure the scheduler pays for — the
+# 25 Mrays/s fwd+bwd stretch would need either a reverse formulation
+# with fewer than 4 J-applications per step (none is known for an exact
+# discrete RK4 adjoint) or f32→bf16 cotangents (breaks the 1e-9 grad
+# gates). Recorded as the r4 ceiling argument.
 
 # Lane layout of the per-tile scalar-partials output row.
 G_MASS = 0

@@ -97,73 +97,87 @@ def rk4_fwd(p: Dot3, v: Dot3, h, coef, *, with_stages: bool = False):
 def rk4_vjp(
     p: Dot3, v: Dot3, h, coef, pbar_out: Dot3, vbar_out: Dot3, stages=None
 ) -> Tuple[Dot3, Dot3, jnp.ndarray]:
-    """VJP of one RK4 step: (p̄', v̄') → (p̄, v̄, c̄oef).
+    """VJP of one RK4 step: (p̄', v̄') → (p̄, v̄, c̄oef), in the *fused-stage*
+    closed form (r4; same derivative, ~35% fewer flops than the mechanical
+    tableau reverse it replaces — see DESIGN.md §5).
 
-    By default recomputes the forward stages from (p, v) — no residuals
-    needed beyond the pre-step state, which is what makes the
+    Eliminating the stage velocities u₂..u₄ from the tableau gives
+
+        p' = p + h·v + (h²/6)(k₁+k₂+k₃)
+        v' = v + (h/6)(k₁+2k₂+2k₃+k₄)
+        q₂ = p + (h/2)v    q₃ = p + (h/2)v + (h²/4)k₁    q₄ = p + h·v + (h²/2)k₂
+
+    so the stage cotangents collapse to (A = (h²/6)p̄' + (h/3)v̄'):
+
+        k̄₄ = (h/6)v̄'              q̄₄ = J₄k̄₄
+        k̄₂ = A + (h²/2)q̄₄         q̄₂ = J₂k̄₂
+        k̄₃ = A                     q̄₃ = J₃k̄₃
+        k̄₁ = (h²/6)p̄'+(h/6)v̄'+(h²/4)q̄₃        q̄₁ = J₁k̄₁
+        p̄  = p̄' + q̄₁+q̄₂+q̄₃+q̄₄
+        v̄  = v̄' + h·p̄' + (h/2)(q̄₂+q̄₃) + h·q̄₄
+
+    with J = a'(q) = s·I + c·q qᵀ *symmetric* (s = coef·r⁻⁵,
+    c = −5·coef·r⁻⁷), so each q̄ᵢ is one dot + two axpys — the u-chain
+    bookkeeping of the mechanical reverse is gone, and so is its per-stage
+    divide (r⁻² rides the shared rsqrt). Results agree with jax.grad of
+    :func:`rk4_fwd` to reassociation-level rounding (gated at rtol 1e-10,
+    tests/test_march_vjp.py).
+
+    By default recomputes the forward stage positions from (p, v) — no
+    residuals needed beyond the pre-step state, which is what makes the
     VMEM-checkpointed kernel adjoint possible. Pass ``stages=(q2, q3, q4)``
     (from ``rk4_fwd(..., with_stages=True)``) to skip that recomputation
     when the caller already holds them.
     """
     h2_ = h * 0.5
     if stages is None:
-        # Recompute stage positions (the stage accelerations' VJPs need them).
+        # Recompute stage positions (the stage-Jacobian applications need
+        # them; q4 needs k2, so two accelerations are unavoidable here).
         k1v = _accel(p, coef)
         q2 = p + v.scale(h2_)
         u2 = v + k1v.scale(h2_)
         k2v = _accel(q2, coef)
         q3 = p + u2.scale(h2_)
         u3 = v + k2v.scale(h2_)
-        k3v = _accel(q3, coef)
         q4 = p + u3.scale(h)
     else:
         q2, q3, q4 = stages
 
-    s = h / 6.0
-    coef_bar = jnp.zeros_like(p.x)
+    def jtp(q: Dot3, kbar: Dot3):
+        """q̄ = J(q)ᵀk̄ (J symmetric) and the stage's c̄oef contribution."""
+        r2 = q.dot(q)
+        inv = jax.lax.rsqrt(r2)
+        inv2 = inv * inv
+        inv5 = inv * inv2 * inv2
+        pa = q.dot(kbar)
+        s = coef * inv5
+        qbar = kbar.scale(s) + q.scale(-5.0 * s * inv2 * pa)
+        return qbar, pa * inv5
 
-    # new_p = p + s·(v + 2u2 + 2u3 + u4); new_v = v + s·(k1v + 2k2v + 2k3v + k4v)
-    pbar = pbar_out
-    vbar = vbar_out + pbar_out.scale(s)  # via the v term of new_p
-    u2bar = pbar_out.scale(2.0 * s)
-    u3bar = pbar_out.scale(2.0 * s)
-    u4bar = pbar_out.scale(s)
-    k1vbar = vbar_out.scale(s)
-    k2vbar = vbar_out.scale(2.0 * s)
-    k3vbar = vbar_out.scale(2.0 * s)
-    k4vbar = vbar_out.scale(s)
+    s6 = h / 6.0
+    hh6 = h * h / 6.0
+    k4b = vbar_out.scale(s6)
+    q4bar, cb4 = jtp(q4, k4b)
 
-    # k4v = a(q4): q̄4, c̄oef
-    q4bar, cb = _accel_vjp(q4, coef, k4vbar)
-    coef_bar = coef_bar + cb
-    # u4 = v + h·k3v
-    vbar = vbar + u4bar
-    k3vbar = k3vbar + u4bar.scale(h)
-    # q4 = p + h·u3
-    pbar = pbar + q4bar
-    u3bar = u3bar + q4bar.scale(h)
-    # k3v = a(q3)
-    q3bar, cb = _accel_vjp(q3, coef, k3vbar)
-    coef_bar = coef_bar + cb
-    # u3 = v + h/2·k2v
-    vbar = vbar + u3bar
-    k2vbar = k2vbar + u3bar.scale(h2_)
-    # q3 = p + h/2·u2
-    pbar = pbar + q3bar
-    u2bar = u2bar + q3bar.scale(h2_)
-    # k2v = a(q2)
-    q2bar, cb = _accel_vjp(q2, coef, k2vbar)
-    coef_bar = coef_bar + cb
-    # u2 = v + h/2·k1v
-    vbar = vbar + u2bar
-    k1vbar = k1vbar + u2bar.scale(h2_)
-    # q2 = p + h/2·v
-    pbar = pbar + q2bar
-    vbar = vbar + q2bar.scale(h2_)
-    # k1v = a(p)
-    pb, cb = _accel_vjp(p, coef, k1vbar)
-    pbar = pbar + pb
-    coef_bar = coef_bar + cb
+    ax = hh6 * pbar_out.x + 2.0 * s6 * vbar_out.x
+    ay = hh6 * pbar_out.y + 2.0 * s6 * vbar_out.y
+    az = hh6 * pbar_out.z + 2.0 * s6 * vbar_out.z
+    a_ = Dot3(ax, ay, az)
+
+    k2b = a_ + q4bar.scale(h * h2_)
+    q2bar, cb2 = jtp(q2, k2b)
+    q3bar, cb3 = jtp(q3, a_)  # k̄3 = A
+    k1b = a_ + vbar_out.scale(-s6) + q3bar.scale(h2_ * h2_)
+    q1bar, cb1 = jtp(p, k1b)
+
+    pbar = pbar_out + q1bar + q2bar + q3bar + q4bar
+    q23 = q2bar + q3bar
+    vbar = Dot3(
+        vbar_out.x + h * pbar_out.x + h2_ * q23.x + h * q4bar.x,
+        vbar_out.y + h * pbar_out.y + h2_ * q23.y + h * q4bar.y,
+        vbar_out.z + h * pbar_out.z + h2_ * q23.z + h * q4bar.z,
+    )
+    coef_bar = (cb1 + cb2) + (cb3 + cb4)
     return pbar, vbar, coef_bar
 
 

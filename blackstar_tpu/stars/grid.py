@@ -653,13 +653,19 @@ class StarGrid:
                     [active, jnp.zeros((n_pad - n,), bool)], axis=0
                 )
             act = act.reshape(-1, chunk)
-            out = jax.lax.map(
-                lambda args: self._lookup_block(
-                    args[0], intensity, saturation, args[1],
-                    ovf_capacity=ovf_capacity, differentiable=differentiable,
-                ),
-                (velp, act),
+            step = lambda args: self._lookup_block(
+                args[0], intensity, saturation, args[1],
+                ovf_capacity=ovf_capacity, differentiable=differentiable,
             )
+            if differentiable:
+                # Rematerialise each chunk in the backward: AD of the
+                # chunked map otherwise stores every chunk's octet-scan
+                # residuals (gathered candidate rows per iteration) — at
+                # 1080p that is tens of GB and OOMs the compile (r4,
+                # DESIGN.md §5). Recompute-in-backward keeps the residuals
+                # at one chunk's inputs.
+                step = jax.checkpoint(step)
+            out = jax.lax.map(step, (velp, act))
             return out.reshape(n_pad, 3)[:n]
         return self._lookup_block(
             vel, intensity, saturation, active, ovf_capacity=ovf_capacity,
@@ -940,6 +946,11 @@ class StarGrid:
                 )
                 return tuple(outs)
 
+            if kw.get("differentiable"):
+                # See ``lookup``: without per-chunk remat the backward
+                # stores every chunk's octet-scan residuals and OOMs at
+                # production ray counts.
+                step = jax.checkpoint(step)
             outs = jax.lax.map(step, (*flat, *acts))
             return [o.reshape(n_pad, 3)[:n] for o in outs]
         outs = self._grouped_parts(parts, actives, intensity, saturation,
