@@ -79,25 +79,41 @@ def shade(res, params: SceneParams, star_grid, dt,
     if star_grid is not None:
         lookup = star_grid.lookup
         kw = {}
-        if static is not None and _grouped_eligible(star_grid, static,
-                                                    res.vel.shape[0]):
+        grouped = static is not None and _grouped_eligible(
+            star_grid, static, res.vel.shape[0]
+        )
+        if grouped:
             lookup = star_grid.lookup_grouped
             kw["group"] = STAR_GROUP
             if res.vel.shape[0] == static.render_width * static.render_height:
                 # Row-major pixel rays: the p×g row-band schedule divides the
-                # per-group gather/validity work by p (forward-only).
+                # per-group gather/validity work by p.
                 # lookup_grouped skips the schedule when the frame height
                 # doesn't tile by ROW_BANDS.
                 kw["row_pitch"] = static.render_width
                 kw["row_bands"] = ROW_BANDS
-        star_rgb = lookup(
-            res.vel,
-            intensity=params.stars.intensity.astype(dt),
-            saturation=params.stars.saturation.astype(dt),
-            active=escaped,
-            differentiable=differentiable,
-            **kw,
-        )
+        if grouped and differentiable:
+            # Hand-derived star VJP (stars/diff.py): production forward
+            # schedule AND a production-schedule backward sweep — the
+            # autodiff path's capacity/cond machinery measured 4.2 Mrays/s
+            # fwd+bwd at 1080p (r4); this runs the same schedule twice.
+            from blackstar_tpu.stars.diff import lookup_grouped_diff
+
+            star_rgb = lookup_grouped_diff(
+                star_grid, res.vel,
+                params.stars.intensity.astype(dt),
+                params.stars.saturation.astype(dt),
+                escaped, **kw,
+            )
+        else:
+            star_rgb = lookup(
+                res.vel,
+                intensity=params.stars.intensity.astype(dt),
+                saturation=params.stars.saturation.astype(dt),
+                active=escaped,
+                differentiable=differentiable,
+                **kw,
+            )
         bottom = jnp.where(escaped[:, None], star_rgb, jnp.zeros((), dt))
     else:
         bottom = jnp.zeros((res.vel.shape[0], 3), dt)

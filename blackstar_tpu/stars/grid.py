@@ -386,7 +386,17 @@ class StarGrid:
         ``accs``: matching list of (ar, ag, ab) accumulators. Exact
         ``starLookup`` per-star math (StarMap.hs:93-114); the
         difference-first d² keeps full precision at d ~ w in float32
-        (2−2·s·v would cancel catastrophically)."""
+        (2−2·s·v would cancel catastrophically).
+
+        **Gradient mode** (the hand-derived star-stage VJP, stars/diff.py):
+        a 6-tuple plane ``(rx, ry, rz, wr, wg, wb)`` — rays plus the
+        incoming per-channel cotangents of the UNCLAMPED sums — selects the
+        reverse-mode math instead: the matching accumulator is a 5-tuple
+        ``(gx, gy, gz, gI, gS)`` of ∂L/∂(ray direction components) and the
+        per-ray partials w.r.t. starIntensity / starSaturation. The
+        formulas mirror jax.grad of the forward exactly, including the
+        0.5 tie-split of ``min(1, e)`` at e == 1 (lax.min's JVP) — gated by
+        tests/test_star_diff.py against jax.grad of the autodiff path."""
         dt = rows2d.dtype
         w = jnp.asarray(self.psf_width, dt)
         r2lim = (3.0 * w) ** 2
@@ -406,10 +416,14 @@ class StarGrid:
             sy = cv(rows2d[:, k * _ROW + 1])
             sz = cv(rows2d[:, k * _ROW + 2])
             logb0 = cv(a * (MAX_BRIGHTNESS - rows2d[:, k * _ROW + 3]))
-            cr = cv(1.0 + saturation * rows2d[:, k * _ROW + 4])
-            cg = cv(1.0 + saturation * rows2d[:, k * _ROW + 5])
-            cb = cv(1.0 + saturation * rows2d[:, k * _ROW + 6])
-            for j, (rx, ry, rz) in enumerate(planes):
+            hr = cv(rows2d[:, k * _ROW + 4])
+            hg = cv(rows2d[:, k * _ROW + 5])
+            hb = cv(rows2d[:, k * _ROW + 6])
+            cr = 1.0 + saturation * hr
+            cg = 1.0 + saturation * hg
+            cb = 1.0 + saturation * hb
+            for j, plane in enumerate(planes):
+                rx, ry, rz = plane[:3]
                 dx = sx - rx
                 dy = sy - ry
                 dz = sz - rz
@@ -418,12 +432,34 @@ class StarGrid:
                 # Outside the 3w cutoff the contribution is exactly 0 (the
                 # reference's inRadius pre-filter) — sentinels (pos 9.0
                 # and/or mag 1e9) die here too.
-                val = jnp.minimum(
-                    1.0, jnp.exp(jnp.where(within, logb0 - d2 * inv2w2, -jnp.inf))
+                e = jnp.exp(jnp.where(within, logb0 - d2 * inv2w2, -jnp.inf))
+                u = jnp.minimum(1.0, e)
+                if len(plane) == 3:
+                    val = u * intensity
+                    ar, ag, ab = out[j]
+                    out[j] = (ar + val * cr, ag + val * cg, ab + val * cb)
+                    continue
+                # Reverse sweep: out_c += I·u·c_c with u = min(1, e),
+                # e = exp(logb0 − d²/(2w²)) (0 outside the cutoff),
+                # c_c = 1 + sat·H_c, d² = |ray − star|².
+                wr, wg, wb = plane[3:]
+                cw = wr * cr + wg * cg + wb * cb  # Σ_c w̄_c·c_c = ∂L/∂(I·u)
+                hw = wr * hr + wg * hg + wb * hb  # Σ_c w̄_c·H_c
+                # du/de: 1 below the cap, 0 above, 0.5 at an exact tie
+                # (lax.min's balanced JVP — measure-zero but mirrored so the
+                # jax.grad equality gate is watertight).
+                due = jnp.where(e < 1.0, 1.0,
+                                jnp.where(e == 1.0, 0.5, 0.0))
+                # ∂L/∂d² = I·cw·(du/de)·e·(−1/(2w²)); ∂d²/∂r_i = −2·d_i.
+                gd2 = (intensity * cw) * (due * e) * (-inv2w2)
+                gx, gy, gz, gi, gs = out[j]
+                out[j] = (
+                    gx - 2.0 * gd2 * dx,
+                    gy - 2.0 * gd2 * dy,
+                    gz - 2.0 * gd2 * dz,
+                    gi + u * cw,
+                    gs + (u * intensity) * hw,
                 )
-                val = val * intensity
-                ar, ag, ab = out[j]
-                out[j] = (ar + val * cr, ag + val * cg, ab + val * cb)
         return out
 
     def _octet_math(self, rows2d, planes, intensity, saturation, accs,
@@ -544,7 +580,7 @@ class StarGrid:
 
     def _per_ray_rgb(self, nx, ny, nz, intensity, saturation,
                      ovf_block: int = 8, ovf_frac: float = 0.5,
-                     differentiable: bool = False, mask=None):
+                     differentiable: bool = False, mask=None, wcols=None):
         """Unclamped per-ray RGB accumulators (ar, ag, ab) for unit
         direction planes — own-cell base row plus its overflow row. Used on
         (already compacted) subsets; the overflow gather is block-compacted
@@ -556,7 +592,11 @@ class StarGrid:
         invalid on the production frame). Masked-off rays are steered to
         cell 0 / overflow row 0 — one repeatedly-gathered (cached) row
         instead of ~3.5 KB of unique table bytes each — and drop out of
-        the batch octet bound. Their outputs are garbage by design."""
+        the batch octet bound. Their outputs are garbage by design.
+
+        ``wcols`` (optional, 3-tuple of (m,) cotangents): gradient mode —
+        returns the 5-tuple ``(gx, gy, gz, gI, gS)`` per-ray partials
+        instead (see :meth:`_slot_math`)."""
         dt = nx.dtype
         m = nx.shape[0]
         cell = self._cell_ids_comp(nx, ny, nz)
@@ -567,9 +607,11 @@ class StarGrid:
         # would silently round pointer values and mis-gather overflow rows.
         raw = self.cell_data[cell]
         row = raw.astype(dt)
+        pl = (nx, ny, nz) if wcols is None else (nx, ny, nz, *wcols)
+        nch = 3 if wcols is None else 5  # fwd RGB / grad channel count
         z = jnp.zeros((m,), dt)
         [acc] = self._base_math(
-            row, [(nx, ny, nz)], intensity, saturation, [(z, z, z)]
+            row, [pl], intensity, saturation, [(z,) * nch]
         )
         for tbl, octs, pcol in self._ovf_tiers():
             optr = raw[:, pcol].astype(jnp.int32)
@@ -581,7 +623,7 @@ class StarGrid:
                 # Full-width overflow row per ray (row 0 = all-sentinel dummy).
                 orow = tbl[optr].astype(dt)
                 [acc] = self._octet_math(
-                    orow, [(nx, ny, nz)], intensity, saturation, [acc],
+                    orow, [pl], intensity, saturation, [acc],
                     max_oct=self._oct_bound(octs, optr, differentiable),
                 )
                 continue
@@ -598,8 +640,8 @@ class StarGrid:
             orow = tbl[optr[ridx]].astype(dt)
             zm = jnp.zeros((ridx.shape[0],), dt)
             [sub] = self._octet_math(
-                orow, [(nx[ridx], ny[ridx], nz[ridx])], intensity, saturation,
-                [(zm, zm, zm)],
+                orow, [tuple(c[ridx] for c in pl)], intensity, saturation,
+                [(zm,) * nch],
                 max_oct=self._oct_bound(octs, optr[ridx], differentiable),
             )
 
@@ -612,7 +654,7 @@ class StarGrid:
             def slow(tbl=tbl, octs=octs, optr=optr, acc=acc):
                 orow_all = tbl[optr].astype(dt)
                 [r] = self._octet_math(
-                    orow_all, [(nx, ny, nz)], intensity, saturation, [acc],
+                    orow_all, [pl], intensity, saturation, [acc],
                     max_oct=self._oct_bound(octs, optr, differentiable),
                 )
                 return tuple(r)
@@ -794,9 +836,19 @@ class StarGrid:
         row_bands: int = 2,
         differentiable: bool = False,
         debug_stages=None,
+        wplanes=None,
+        clamp: bool = True,
     ) -> jnp.ndarray:
         """Celestial-sphere colour with ONE table gather per ``group``
         consecutive rays instead of per ray.
+
+        ``wplanes`` (a 3-tuple of (n,) per-channel cotangents of the
+        UNCLAMPED sums) runs the hand-derived reverse sweep instead —
+        same production schedule, returns the 5-tuple of (n,) gradient
+        channel flats ``(gx, gy, gz, gI, gS)`` w.r.t. the NORMALISED ray
+        directions and the intensity/saturation scalars (unreduced).
+        ``clamp=False`` returns raw unclamped sums with no active mask.
+        Both serve the custom-vjp star stage (stars/diff.py).
 
         Requires a grid built with ``radius > 3·psf_width`` (a *group
         margin*): the halo guarantees that any ray within
@@ -818,11 +870,21 @@ class StarGrid:
         2.12 px, vs 1.5 px for a 1×4 run). Forward-only; ignored when it
         doesn't tile the input.
         """
+        n = vel.shape[0]
+        dt = vel.dtype
+        if wplanes is not None or not clamp:
+            if self.margin <= 0.0:
+                raise ValueError(
+                    "the custom-vjp star stage needs a group margin "
+                    "(grid built with radius > 3·psf_width)"
+                )
+            if self.n_stars == 0:
+                z = jnp.zeros((n,), dt)
+                return (z,) * 5 if wplanes is not None \
+                    else jnp.zeros((n, 3), dt)
         if self.margin <= 0.0:
             return self.lookup(vel, intensity, saturation, active,
                                chunk=chunk, differentiable=differentiable)
-        n = vel.shape[0]
-        dt = vel.dtype
         if self.n_stars == 0:
             return jnp.zeros((n, 3), dt)
         # Padding alignment: each part's group count must tile by BOTH block
@@ -842,6 +904,7 @@ class StarGrid:
             inv_batch_blocks=inv_batch_blocks,
             inv_ovf_block=inv_ovf_block, inv_mask_steer=inv_mask_steer,
             differentiable=differentiable, debug_stages=debug_stages,
+            clamp=clamp,
         )
         vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
         p = int(row_bands)
@@ -863,17 +926,31 @@ class StarGrid:
             px, py, pz = split(vx), split(vy), split(vz)
             acts = split(active) if active is not None else [None] * p
             parts = [(px[i], py[i], pz[i]) for i in range(p)]
+            wparts = None
+            if wplanes is not None:
+                ws = [split(w) for w in wplanes]
+                wparts = [tuple(ws[c][i] for c in range(3))
+                          for i in range(p)]
             outs = self._run_parts(
                 parts, list(acts), intensity, saturation,
                 chunk=max(align, chunk // p // align * align),
-                align=align, kw=kw,
+                align=align, kw=kw, wparts=wparts,
             )
+            if wplanes is not None:
+                # Re-interleave each gradient channel's band parts back
+                # into flat ray order.
+                return tuple(
+                    jnp.stack([outs[i][c].reshape(hp, row_pitch)
+                               for i in range(p)], axis=1).reshape(n)
+                    for c in range(5)
+                )
             return jnp.stack(
                 [o.reshape(hp, row_pitch, 3) for o in outs], axis=1
             ).reshape(n, 3)
         [out] = self._run_parts(
             [(vx, vy, vz)], [active], intensity, saturation,
             chunk=chunk, align=align, kw=kw,
+            wparts=None if wplanes is None else [tuple(wplanes)],
         )
         return out
 
@@ -898,10 +975,13 @@ class StarGrid:
         return nx4s, ny4s, nz4s
 
     def _run_parts(self, parts, actives, intensity, saturation, *,
-                   chunk, align, kw):
+                   chunk, align, kw, wparts=None):
         """Pad each part to ``align``, split into at most ``chunk``-ray
         ``lax.map`` chunks, and run :meth:`_grouped_parts`. Returns per-part
-        (n, 3) colours.
+        (n, 3) colours — or, with ``wparts`` (per-part cotangent 3-tuples,
+        the reverse star sweep), per-part 5-tuples of (n,) gradient
+        channel flats. Cotangents pad with ZEROS (padding lanes must not
+        contribute to the parameter partials).
 
         Negative result (r4e, v5e): hoisting the invalid fallback OUT of
         the chunk map to run once per frame — motivated by its ~9 ms
@@ -922,6 +1002,10 @@ class StarGrid:
             one = jnp.ones((pad,), dt)
             parts = [tuple(jnp.concatenate([v, one]) for v in p)
                      for p in parts]
+            if wparts is not None:
+                zw = jnp.zeros((pad,), dt)
+                wparts = [tuple(jnp.concatenate([w, zw]) for w in wp)
+                          for wp in wparts]
             actives = [
                 jnp.concatenate([a, jnp.zeros((pad,), bool)])
                 if a is not None
@@ -936,13 +1020,20 @@ class StarGrid:
                 else jnp.ones((n_pad // chunk, chunk), bool)
                 for a in actives
             ]
+            wflat = ([] if wparts is None else
+                     [w.reshape(-1, chunk) for wp in wparts for w in wp])
             n_parts = len(parts)
 
             def step(a):
                 ps = [tuple(a[3 * p + c] for c in range(3))
                       for p in range(n_parts)]
+                acts_ = list(a[3 * n_parts:4 * n_parts])
+                wb = 4 * n_parts
+                wps = (None if wparts is None else
+                       [tuple(a[wb + 3 * p + c] for c in range(3))
+                        for p in range(n_parts)])
                 outs = self._grouped_parts(
-                    ps, list(a[3 * n_parts:]), intensity, saturation, **kw
+                    ps, acts_, intensity, saturation, wplanes=wps, **kw
                 )
                 return tuple(outs)
 
@@ -951,20 +1042,34 @@ class StarGrid:
                 # stores every chunk's octet-scan residuals and OOMs at
                 # production ray counts.
                 step = jax.checkpoint(step)
-            outs = jax.lax.map(step, (*flat, *acts))
-            return [o.reshape(n_pad, 3)[:n] for o in outs]
+            outs = jax.lax.map(step, (*flat, *acts, *wflat))
+
+            def reasm(o):
+                if isinstance(o, tuple):
+                    return tuple(reasm(c) for c in o)
+                return o.reshape((n_pad,) + o.shape[2:])[:n]
+
+            return [reasm(o) for o in outs]
         outs = self._grouped_parts(parts, actives, intensity, saturation,
-                                   **kw)
-        return [o[:n] for o in outs]
+                                   wplanes=wparts, **kw)
+
+        def cut(o):
+            if isinstance(o, tuple):
+                return tuple(cut(c) for c in o)
+            return o[:n]
+
+        return [cut(o) for o in outs]
 
     def _invalid_fallback(self, chTs, inv_rays, nx4s, ny4s, nz4s, intensity,
                           saturation, *, g, gt, ray_block, inv_batch_blocks,
-                          inv_ovf_block, inv_mask_steer, dt):
+                          inv_ovf_block, inv_mask_steer, dt, w4s=None):
         """Exact per-ray recompute of the invalid (lensing-belt) rays,
         while-batched at (ray_block//gt)-group block granularity; returns
         ``chTs`` with invalid lanes replaced. Forward-only (the while_loop
-        has no VJP). Runs once per frame when the chunked grouped path
-        defers it (r4d), or per chunk on the direct path.
+        has no VJP) — the reverse star sweep (stars/diff.py) reuses it
+        INSIDE its custom-vjp backward with ``w4s`` set (per-part 3-tuples
+        of (G, g) cotangent views), where the lanes become the 5 gradient
+        channels of :meth:`_slot_math`.
 
         Body notes (all r4-measured, DESIGN.md §3): block billing admits
         ~5× more rays than are invalid and the merge discards the extras —
@@ -975,6 +1080,7 @@ class StarGrid:
         n_parts = len(nx4s)
         n_groups = nx4s[0].shape[0]
         n = n_groups * g
+        nch = 3 if w4s is None else 5
         gpb = max(1, ray_block // gt)  # groups per block
         nbr = n_groups // gpb
         inv_any = inv_rays[0].any(axis=1)
@@ -993,14 +1099,18 @@ class StarGrid:
             fzs = [nz4s[p][gsel].reshape(-1) for p in range(n_parts)]
             fms = [inv_rays[p][gsel].reshape(-1) for p in range(n_parts)]
             m1 = fxs[0].shape[0]
+            cat = (lambda vs: jnp.concatenate(vs)) if n_parts > 1 \
+                else (lambda vs: vs[0])
             facc = self._per_ray_rgb(
-                jnp.concatenate(fxs) if n_parts > 1 else fxs[0],
-                jnp.concatenate(fys) if n_parts > 1 else fys[0],
-                jnp.concatenate(fzs) if n_parts > 1 else fzs[0],
+                cat(fxs), cat(fys), cat(fzs),
                 intensity, saturation,
                 ovf_block=inv_ovf_block,
-                mask=((jnp.concatenate(fms) if n_parts > 1 else fms[0])
-                      if inv_mask_steer else None),
+                mask=(cat(fms) if inv_mask_steer else None),
+                wcols=None if w4s is None else tuple(
+                    cat([w4s[p][c][gsel].reshape(-1)
+                         for p in range(n_parts)])
+                    for c in range(3)
+                ),
             )
             return tuple(
                 c[p * m1:(p + 1) * m1]
@@ -1008,14 +1118,14 @@ class StarGrid:
             )
 
         flat_f = self._batched_blocks(
-            dt, ibf, ipos, gpb, inv_body, per_unit=g, n_bufs=3 * n_parts,
+            dt, ibf, ipos, gpb, inv_body, per_unit=g, n_bufs=nch * n_parts,
             batch_blocks=inv_batch_blocks, skip_if_empty=True,
         )
         inv_flats = [ir.reshape(n) for ir in inv_rays]
         return [
             tuple(
-                jnp.where(inv_flats[p], flat_f[3 * p + c], chTs[p][c])
-                for c in range(3)
+                jnp.where(inv_flats[p], flat_f[nch * p + c], chTs[p][c])
+                for c in range(nch)
             )
             for p in range(n_parts)
         ]
@@ -1026,6 +1136,7 @@ class StarGrid:
         ovf_batch_blocks=512, inv_batch_blocks=256, inv_ovf_block=0,
         inv_mask_steer=False, defer_invalid=False,
         differentiable=False, debug_stages=None,
+        wplanes=None, clamp=True,
     ):
         """Grouped-lookup core over one or more ray *parts*.
 
@@ -1041,6 +1152,14 @@ class StarGrid:
         runs). Returns a list of per-part
         (n, 3) colours. The differentiable path (capacity-based compaction
         + cond guards) supports a single part only.
+
+        ``wplanes`` (per-part 3-tuples of (n,) cotangent flats) switches to
+        the reverse star sweep (stars/diff.py): the SAME schedule —
+        gathers, validity, pay-as-you-go overflow/invalid machinery — runs
+        the 5-channel gradient math of :meth:`_slot_math` and returns, per
+        part, the 5 unreduced channel flats ``(gx, gy, gz, gI, gS)``.
+        ``clamp=False`` returns the raw unclamped/unmasked sums (the
+        custom-vjp forward — clamp and active mask live outside it).
         """
         # debug_stages: None = everything (production); else a set drawn
         # from {"validity", "ovf", "ovf2", "invalid", "guard"} for perf
@@ -1049,6 +1168,12 @@ class StarGrid:
         n_parts = len(parts)
         if differentiable and n_parts != 1:
             raise ValueError("multi-part grouped lookup is forward-only")
+        if wplanes is not None and differentiable:
+            raise ValueError(
+                "the gradient sweep runs inside a custom-vjp backward and "
+                "uses the production (while-batched) machinery"
+            )
+        nch = 3 if wplanes is None else 5
         dt = parts[0][0].dtype
         n = parts[0][0].shape[0]
         g = group
@@ -1131,10 +1256,20 @@ class StarGrid:
         # the ~k0·7 small matmuls ran slower than the XLA broadcast-scan
         # form (70 vs 49 ms/frame). Removed; see DESIGN.md §3.
         zg = jnp.zeros((n_groups, g), dt)
-        planes = [(nx4s[p], ny4s[p], nz4s[p]) for p in range(n_parts)]
+        w4s = None
+        if wplanes is None:
+            planes = [(nx4s[p], ny4s[p], nz4s[p]) for p in range(n_parts)]
+        else:
+            # (G, g) cotangent views — free row-major reshapes, like the
+            # ray views (w is zero on inactive/clamped lanes by the outer
+            # where/min VJPs, so no extra masking is needed anywhere).
+            w4s = [tuple(w.reshape(n_groups, g) for w in wplanes[p])
+                   for p in range(n_parts)]
+            planes = [(nx4s[p], ny4s[p], nz4s[p]) + w4s[p]
+                      for p in range(n_parts)]
         accs = self._base_math(
             base, planes, intensity, saturation,
-            [(zg, zg, zg) for _ in range(n_parts)],
+            [(zg,) * nch for _ in range(n_parts)],
         )
 
         valids = []
@@ -1170,15 +1305,15 @@ class StarGrid:
                 # gsel: flat group ids — their overflow RGB per ray. Ray
                 # extraction is a ROW gather of the (G, g) views (element
                 # gathers on flat arrays run at ~2 GB/s on TPU). Returns
-                # 3·n_parts flats, part-major — separate buffers per part
+                # nch·n_parts flats, part-major — separate buffers per part
                 # keep every downstream merge a contiguous row gather.
                 orow = tbl[optr[gsel]].astype(dt)
-                rays = [(nx4s[p][gsel], ny4s[p][gsel], nz4s[p][gsel])
+                rays = [tuple(v[gsel] for v in planes[p])
                         for p in range(n_parts)]
                 zo = jnp.zeros((gsel.shape[0], g), dt)
                 outs = self._octet_math(
                     orow, rays, intensity, saturation,
-                    [(zo, zo, zo) for _ in range(n_parts)],
+                    [(zo,) * nch for _ in range(n_parts)],
                     max_oct=self._oct_bound(octs, optr[gsel], differentiable),
                 )
                 return tuple(
@@ -1192,9 +1327,9 @@ class StarGrid:
                 # input (no capacity to blow).
                 flat_adds = self._batched_blocks(
                     dt, obf, opos, group_block, ovf_body, per_unit=g,
-                    batch_blocks=ovf_batch_blocks, n_bufs=3 * n_parts,
+                    batch_blocks=ovf_batch_blocks, n_bufs=nch * n_parts,
                 )
-                part_adds = [flat_adds[3 * p:3 * p + 3]
+                part_adds = [flat_adds[nch * p:nch * p + nch]
                              for p in range(n_parts)]
             else:
                 mbg = max(1, int(nbg * ovf_frac))
@@ -1242,7 +1377,7 @@ class StarGrid:
                     g=g, gt=gt, ray_block=ray_block,
                     inv_batch_blocks=inv_batch_blocks,
                     inv_ovf_block=inv_ovf_block,
-                    inv_mask_steer=inv_mask_steer, dt=dt,
+                    inv_mask_steer=inv_mask_steer, dt=dt, w4s=w4s,
                 )
             else:
                 gpb = max(1, ray_block // gt)  # groups per block
@@ -1293,6 +1428,16 @@ class StarGrid:
                 chTs = [tuple(
                     imerge(chTs[0][c], facc[c]) for c in range(3)
                 )]
+
+        if wplanes is not None:
+            # Reverse sweep: unreduced per-ray gradient channel flats. No
+            # clamp/active handling — those are outside the custom-vjp
+            # boundary, already folded into the incoming cotangents.
+            return [tuple(chTs[p]) for p in range(n_parts)]
+        if not clamp:
+            # Custom-vjp forward: raw unclamped sums (clamp + active mask
+            # applied by autodiff-visible ops outside the wrapper).
+            return [jnp.stack(list(chTs[p]), axis=-1) for p in range(n_parts)]
 
         outs = []
         for p, act in enumerate(actives):

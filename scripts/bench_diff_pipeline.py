@@ -5,10 +5,14 @@ Times, device-side (K frames per dispatch, see CLAUDE.md on the tunnel's
 470k-star sky:
 
   1. forward render, production schedule (reference point);
-  2. forward render through the differentiable path (capacity-compacted
-     stars + Pallas custom-vjp march) — what the training loss evaluates;
+  2. forward render through the differentiable path (custom-vjp star
+     stage, stars/diff.py + Pallas custom-vjp march) — what the training
+     loss evaluates; since r4 this equals the production schedule;
   3. render + backward: jax.grad of the L2 image loss w.r.t. ALL scene
      params (camera pose/fov, disk, stars, bloom, mass).
+
+Measured r4 (see BASELINE.md): 65.6 / 65.8 / 194.5 ms (10.7 Mrays/s
+fwd+bwd; the pre-VJP autodiff star path measured 106.1 / 492).
 
 Run on the TPU:  python -u scripts/bench_diff_pipeline.py
 """
