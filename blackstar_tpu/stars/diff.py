@@ -24,7 +24,15 @@ independently exact; they don't even need matching schedules).
 
 Gradient semantics mirror ``jax.grad`` of the autodiff path exactly
 (including lax.min's 0.5 tie-split at the PSF brightness cap); gated by
-tests/test_star_diff.py at 1e-12 (f64) against jax.grad.
+tests/test_star_diff.py at rtol 1e-11 (f64) against jax.grad.
+
+Star-TABLE gradients are intentionally dropped: the grid's ``cell_data``
+holds catalogue constants (star positions / magnitude / colour basis),
+which are scene *data*, not scene *parameters* — no reference workload
+trains them, and the production gather schedule has no transpose. The
+backward therefore returns zero cotangents for every grid leaf (see
+``bwd``); a future catalogue-fitting use must NOT route grid gradients
+through this wrapper (use the capacity-compaction autodiff path instead).
 """
 
 from __future__ import annotations
@@ -91,6 +99,8 @@ def _make_star_vjp(kw_items):
              (gnz - nz * gdotn) * inv],
             axis=-1,
         )
+        # Grid leaves are catalogue DATA, deliberately non-differentiated
+        # (module docstring) — zero cotangents, not real table gradients.
         g_grid = jax.tree.map(_zero_cot, grid)
         g_active = np.zeros(jnp.shape(active), jax.dtypes.float0)
         return (g_grid, gvel, jnp.sum(gi).astype(intensity.dtype),
@@ -109,7 +119,16 @@ def lookup_grouped_diff(grid, vel, intensity, saturation, active, **kw):
     Returns the clamped, escape-masked (n, 3) star colours — identical
     values to ``lookup_grouped(differentiable=True)`` and identical
     gradients to ``jax.grad`` through it (tests/test_star_diff.py).
+    Star-table (grid) gradients are intentionally zero — module docstring.
     """
+    if active is None:
+        raise ValueError(
+            "lookup_grouped_diff needs an explicit boolean active mask: the "
+            "custom-vjp star stage uses it to steer the schedule in BOTH "
+            "sweeps (probe substitution for dead lanes) and to fold the "
+            "escape mask into the cotangents. Pass "
+            "jnp.ones(vel.shape[0], bool) if every ray is live."
+        )
     dt = vel.dtype
     f = _make_star_vjp(tuple(sorted(kw.items())))
     unclamped = f(
