@@ -156,6 +156,13 @@ ATTEMPT_TIMEOUT_WARM_S = 600
 # Healthy-tunnel backend init alone measured 73 s on this box (r3) — 90 s
 # left only 17 s of headroom before a live tunnel read as dead.
 PROBE_TIMEOUT_S = 150
+# The tunnel FLAPS: r4's bench-of-record found it dead (probe failed twice
+# in ~5 min, rc=1, no number recorded all round) and it was observed down
+# for stretches of r5 too. Probing over a longer window with pauses turns
+# "down for a few minutes at the wrong moment" into a recorded result; a
+# genuinely dead tunnel still fails, just after ~20 min instead of ~5.
+PROBES = 6
+PROBE_PAUSE_S = 90
 
 
 def _attempt_timeout() -> int:
@@ -233,20 +240,24 @@ def main() -> None:
 
     import subprocess
 
-    # Fail fast on a dead tunnel: two probes (~3 min worst case) instead of
-    # burning a full attempt timeout discovering the backend is hung.
-    for probe in range(2):
+    # Probe before burning full attempt timeouts on a hung backend. The
+    # window is deliberately patient (see PROBES above): the tunnel flaps,
+    # and this is the measurement of record.
+    for probe in range(PROBES):
         if _backend_alive():
             break
         print(
-            f"bench liveness probe {probe + 1}/2 failed "
+            f"bench liveness probe {probe + 1}/{PROBES} failed "
             f"(no tiny-op completion in {PROBE_TIMEOUT_S}s)",
             file=sys.stderr,
         )
+        if probe + 1 < PROBES:
+            time.sleep(PROBE_PAUSE_S)
     else:
         raise SystemExit(
-            "bench aborted before any attempt: backend liveness probe failed "
-            "twice — the TPU tunnel is down (a trivial op hangs)."
+            f"bench aborted before any attempt: backend liveness probe "
+            f"failed {PROBES}x over ~{(PROBES * (PROBE_TIMEOUT_S + PROBE_PAUSE_S)) // 60}"
+            " min — the TPU tunnel is down (a trivial op hangs)."
         )
 
     attempt_timeout = _attempt_timeout()
