@@ -1,10 +1,12 @@
 #!/bin/bash
-# One-shot TPU measurement session for round 3 — run the moment the axon
-# tunnel is back (tail /tmp/tpu_probe.log for "TPU BACK"). Ordered so the
-# most decision-relevant numbers land first if the tunnel dies mid-session.
-# Usage:  bash scripts/hw_session.sh [outdir]   (default /tmp/hw_r3)
+# One-shot TPU measurement session for round 5 — run the moment the axon
+# tunnel is back. ORDERED BY VALUE-IF-THE-TUNNEL-DIES-MID-SESSION: the
+# round-4 bench of record was lost to a dead tunnel (BENCH_r04 rc=1), so
+# the official bench number is banked FIRST, correctness revalidation
+# second, diagnostics after.
+# Usage:  bash scripts/hw_session.sh [outdir]   (default /tmp/hw_r5)
 set -u
-OUT=${1:-/tmp/hw_r3}
+OUT=${1:-/tmp/hw_r5}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
@@ -21,19 +23,25 @@ run() { # run NAME TIMEOUT CMD...
 # 0. liveness (fail the whole session in 2 min if the tunnel is dead)
 run probe 120 python -c "import jax, jax.numpy as jnp; assert jax.devices()[0].platform != 'cpu'; print(float(jnp.ones((8,128)).sum()), jax.devices()[0].platform)" || exit 1
 
-# 1. the star-machinery decision set (row-bands x group x k0 x ovf_split x chunk)
-run sweep_decide 1500 python -u scripts/sweep_star_machinery.py --decide
+# 1. the official metric — bank it before anything else
+run bench 2400 python bench.py
 
-# 2. stage breakdown at the apparent winner (edit flags after reading #1)
+# 1b. Mosaic capability probe: in-kernel dynamic_gather + range DMA (the
+#     mechanism DESIGN.md §3's star-stage ceiling says is missing; jax 0.9
+#     lowers take_along_axis to tpu.dynamic_gather — does it COMPILE+RUN
+#     for R >> 8 on v5e, and at what ns/row?)
+run probe_gather 900 python -u scripts/probe_dynamic_gather.py
+
+# 2. all 9 scenes, Pallas vs XLA on the chip (r5 revalidation)
+run scenes_check 1800 python -u scripts/scenes_check.py
+
+# 3. star-stage profile (confirm the r4 38.2 ms state under r5 code)
 run profile_stages 900 python -u scripts/profile_star_stages.py
 
-# 3. adjoint: store_stages + tile sweep (VERDICT r2 #4)
-run sweep_adjoint 1500 python -u scripts/sweep_adjoint.py
+# 4. differentiable full pipeline (the r4 flagship measurement, re-run)
+run bench_diff 1500 python -u scripts/bench_diff_pipeline.py
 
-# 4. the full k0 axis if time permits
-run sweep_k0 2400 python -u scripts/sweep_star_machinery.py --k0-sweep
-
-# 5. bench with current defaults (re-run manually after flipping winners)
-run bench 1500 python bench.py
+# 5. heavy workloads (default-aa 4x supersample + 8K)
+run bench_heavy 1800 python -u scripts/bench_heavy.py
 
 echo "session done: $OUT"
