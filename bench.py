@@ -151,7 +151,10 @@ def measure() -> dict:
 # Cold path covers the star-grid build + first compile; warm path (grid
 # artifact + .jax_cache already on disk, the normal state of this box)
 # finishes in well under 10 minutes, so a hang is detected much sooner.
-ATTEMPT_TIMEOUT_COLD_S = 1200
+# The cold budget must cover the full-pipeline compile through the
+# tunnel's remote-compile path (~10 min observed r5) PLUS the measured
+# march/full stages.
+ATTEMPT_TIMEOUT_COLD_S = 1800
 ATTEMPT_TIMEOUT_WARM_S = 600
 # Healthy-tunnel backend init alone measured 73 s on this box (r3) — 90 s
 # left only 17 s of headroom before a live tunnel read as dead.
@@ -282,9 +285,13 @@ def main() -> None:
             timeouts += 1
             partial = _best_json_line(e.stdout) or partial
             last_err = f"child exceeded {attempt_timeout}s (hung TPU tunnel?)"
-            if timeouts >= 2:
-                # Two full-length hangs = the tunnel died mid-run, not a
-                # flake; don't burn another attempt_timeout of driver time.
+            # A timeout means the warm-budget guess was WRONG (cold compile
+            # in progress, or a slow tunnel): killing a compile at 600 s and
+            # restarting it from scratch each attempt is a livelock — seen
+            # live in r5, where the march stage finished but the cold
+            # full-pipeline compile outlived every warm window. Escalate.
+            attempt_timeout = max(attempt_timeout, ATTEMPT_TIMEOUT_COLD_S)
+            if timeouts >= 3:
                 break
         except Exception as e:  # noqa: BLE001 — retry any fault
             last_err = repr(e)
