@@ -48,6 +48,41 @@ class TestBestJsonLine:
         assert bench._best_json_line(raw) == partial
 
 
+class TestTimeoutEscalation:
+    """A child timeout must escalate later attempts to the cold budget:
+    killing an in-progress cold compile at the warm deadline and
+    restarting it from scratch livelocks (observed live in r5 — the
+    full-pipeline compile outlived every 600 s warm window)."""
+
+    def test_escalates_after_timeout(self, monkeypatch):
+        import subprocess
+
+        seen = []
+
+        def fake_run(cmd, **kw):
+            if "-c" in cmd:  # liveness probe child
+                return type("P", (), {"returncode": 0})()
+            seen.append(kw["timeout"])
+            raise subprocess.TimeoutExpired(cmd, kw["timeout"])
+
+        # bench imports subprocess lazily inside main(): patch the module
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        monkeypatch.setattr(bench, "_attempt_timeout",
+                            lambda: bench.ATTEMPT_TIMEOUT_WARM_S)
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        monkeypatch.setattr(bench, "ATTEMPTS", 4)
+        try:
+            bench.main()
+            raised = False
+        except SystemExit as e:
+            raised = bool(e.code)
+        assert raised
+        assert seen[0] == bench.ATTEMPT_TIMEOUT_WARM_S
+        # every post-timeout attempt runs with the cold budget, and the
+        # 3-timeout circuit breaker stops before ATTEMPTS is exhausted
+        assert seen[1:] == [bench.ATTEMPT_TIMEOUT_COLD_S] * 2
+
+
 class TestAttemptTimeout:
     def test_warm_le_cold(self):
         assert bench.ATTEMPT_TIMEOUT_WARM_S <= bench.ATTEMPT_TIMEOUT_COLD_S
