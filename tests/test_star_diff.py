@@ -60,6 +60,19 @@ def _assert_grads_match(grid, vel, active, cot, kw_new, kw_ref,
     return g_new
 
 
+def test_active_none_rejected():
+    """The custom-vjp wrapper needs an explicit mask (r4 advisor finding:
+    passing None used to die with an opaque TypeError at trace time)."""
+    import pytest
+
+    from blackstar_tpu.stars.diff import lookup_grouped_diff
+
+    vel = jnp.ones((8, 3))
+    with pytest.raises(ValueError, match="active mask"):
+        lookup_grouped_diff(None, vel, jnp.float32(1.0), jnp.float32(1.0),
+                            None)
+
+
 def test_star_vjp_overflow_invalid_active():
     """Clustered catalogue (overflow rows) + divergent groups (invalid
     fallback) + active mask + non-unit velocities: grads == jax.grad."""
