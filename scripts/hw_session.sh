@@ -34,8 +34,7 @@ run probe_gather 900 python -u scripts/probe_dynamic_gather.py
 
 # 1c. the assembled pass-1 prototype (window DMA + in-VMEM row select +
 #     slot math) at production scale — the true go/no-go number
-run proto_tall 900 python -u scripts/proto_window_kernel.py --idx tall
-run proto_wide 900 python -u scripts/proto_window_kernel.py --idx wide
+run proto 1200 python -u scripts/proto_window_kernel.py
 
 # 2. all 9 scenes, Pallas vs XLA on the chip (r5 revalidation)
 run scenes_check 1800 python -u scripts/scenes_check.py

@@ -1,5 +1,13 @@
 """Prototype: range-window Pallas star stage (base pass K1 + overflow K2).
 
+OUTCOME (r5, v5e hardware): semantics are EXACT in interpret mode
+(f64 max|err| 4.4e-16 vs the production per-ray lookup), but Mosaic
+REJECTS the row select on hardware — ``Not implemented: Multiple source
+vregs along gather dimension`` — and probe_dynamic_gather.py pins the
+supported envelope to single-vreg gathers (R=8 sublane / 128-lane).
+The mechanism is dead on this TPU generation; kept as the documented
+experiment behind DESIGN.md §3's r5 closure.
+
 Measures the REAL cost of the windowed-gather mechanism on hardware — the
 micro-probe (probe_dynamic_gather.py) prices the primitives; this pipes
 them together the way a production ``lookup_windowed`` would:
@@ -155,8 +163,12 @@ def _k2_kernel(starts_ref, optr_ref, cov_ref, rx_ref, ry_ref, rz_ref,
     max_oct = jnp.max(octs_win[:])
 
     rx, ry, rz = rx_ref[0], ry_ref[0], rz_ref[0]
-    win = scratch[:]                     # (OVW, w1)
     n_chunk = T // OVW
+    # Mosaic has no in-kernel dynamic_slice primitive — the octet loop
+    # instead reads the scratch ref directly with a minor-dim pl.ds whose
+    # start is a provable 128-multiple (CLAUDE.md landmine list), i.e.
+    # PAIRS of 64-float octets; n_oct is padded even by the host.
+    n_pair = n_oct // 2
 
     accs = []
     for c in range(n_chunk):
@@ -168,17 +180,17 @@ def _k2_kernel(starts_ref, optr_ref, cov_ref, rx_ref, ry_ref, rz_ref,
         # bug (CLAUDE.md landmine list)
         z = crx * 0.0
 
-        def body(k, acc, idx=idx, crx=crx, cry=cry, crz=crz):
-            blk = jax.lax.dynamic_slice_in_dim(win, k * 8 * ROW, 8 * ROW, 1)
+        def body(p, acc, idx=idx, crx=crx, cry=cry, crz=crz):
+            blk = scratch[:, pl.ds(p * 128, 128)]   # 2 octets = 16 slots
             rows = jnp.take_along_axis(
                 blk, jnp.broadcast_to(idx, blk.shape), axis=0,
                 mode="promise_in_bounds",
             )
             return _star_math(rows, crx, cry, crz, psf_width, intensity,
-                              saturation, acc, 0, 8)
+                              saturation, acc, 0, 16)
 
         acc = jax.lax.fori_loop(
-            0, jnp.minimum(max_oct, n_oct), body, (z, z, z)
+            0, jnp.minimum((max_oct + 1) // 2, n_pair), body, (z, z, z)
         )
         accs.append(acc)
 
@@ -311,13 +323,15 @@ def run_stage(v, esc, grid, intensity, saturation, interpret):
     n_tiles = n // T
     n_oct = grid.ovf_data.shape[1] // (8 * ROW)
     tbl3 = grid.cell_data.reshape(nr, nc, pad_k * ROW)
-    # pad the ovf table so any clamped window start stays in range
+    # pad the ovf table: rows so any clamped window start stays in range,
+    # columns to an EVEN octet count (the kernel scans 128-float octet
+    # pairs; zero sentinels die at the 3w cutoff, d2 = |r|^2 = 1)
     ovf_rows = grid.ovf_data.shape[0]
     pad_to = max(OVW + 1, ovf_rows)
-    ovf_tbl = jnp.concatenate(
-        [grid.ovf_data,
-         jnp.zeros((pad_to - ovf_rows, grid.ovf_data.shape[1]),
-                   grid.ovf_data.dtype)], axis=0)
+    n_oct = n_oct + (n_oct & 1)
+    ovf_tbl = jnp.zeros((pad_to, n_oct * 8 * ROW), grid.ovf_data.dtype)
+    ovf_tbl = ovf_tbl.at[:ovf_rows, :grid.ovf_data.shape[1]].set(
+        grid.ovf_data)
     octs2 = jnp.concatenate(
         [grid.ovf_octets, jnp.zeros((pad_to - ovf_rows,), jnp.int32)]
     )[:, None]
