@@ -38,19 +38,23 @@ class RenderStats(NamedTuple):
 
 # The p×g pixel-block schedule of the production star lookup
 # (stars/grid.lookup_grouped): ROW_BANDS image rows × STAR_GROUP consecutive
-# pixels share one gathered cell row. (2, 4) is the measured v5e winner
-# (r3 hardware sweep, scripts/sweep_star_machinery.py --decide +
-# sweep_star_r3.py): 2×4 ≈ 39-42 ms/frame vs 1×4 ≈ 49, 4×4 ≈ 47,
-# 4×8 ≈ 55 — the larger blocks' extra invalid-fallback rays cost more
-# than the saved gathers. The committed artifact's 6 mrad margin covers
-# all four schedules at the flagship framing, and per-ray validity keeps
+# pixels share one gathered cell row. (4, 4) is the measured v5e winner
+# as of r5: the r3 sweep picked 2×4 (39-42 ms/frame vs 4×4's 47), but the
+# r4 star-stage changes (bounded-error fast cell ids, 3-ball validity,
+# compacted fallback overflow) shifted the optimum — with them, 4×4
+# gains ~1.8 ms/frame on the FULL-pipeline bench (r5, two runs each:
+# 33.38/33.49 vs 32.64/32.47 Mrays/s; isolated stage 36.8 vs 38.3,
+# scripts/profile_star_stages.py). 4×8 still loses (42.6 isolated) —
+# its extra invalid-fallback rays cost more than the saved gathers.
+# The committed artifact's 6 mrad margin covers all four schedules at
+# the flagship framing, and per-ray validity keeps
 # every schedule exact. STAR_GROUP is
 # an alias of the grid layer's GROUP — ONE constant governs the lookup
 # default, the shade() call, the eligibility spread, and the sharded deal;
 # flip it in stars/grid.py.
 from blackstar_tpu.stars.grid import GROUP as STAR_GROUP  # noqa: E402
 
-ROW_BANDS = 2
+ROW_BANDS = 4
 
 
 def safe_distance(params: SceneParams, dtype) -> jnp.ndarray:

@@ -153,11 +153,12 @@ def test_render_level_star_grads_fd():
     # through importlib for the module (same pattern as __graft_entry__).
     render_mod = importlib.import_module("blackstar_tpu.render")
 
-    # Large halo: at 64 px across a 1.5 rad fov the 2×4 pixel-block spread
-    # is ~0.037 rad, so the grid needs a margin well beyond it for the
-    # grouped schedule to be eligible at this tiny test resolution.
+    # Large halo: at 64 px across a 1.5 rad fov the production 4×4
+    # pixel-block spread is ~0.05 rad (×1.3 in _grouped_eligible), so the
+    # grid needs a margin well beyond it for the grouped schedule to be
+    # eligible at this tiny test resolution.
     cat = _random_catalog(800, seed=41)
-    grid = _grid(cat, radius=0.06, cell_size=0.03)
+    grid = _grid(cat, radius=0.09, cell_size=0.03)
 
     import os
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
