@@ -825,7 +825,7 @@ class StarGrid:
         chunk: int = 1 << 17,
         group: int = GROUP,
         ray_block: int = 32,
-        group_block: int = 8,
+        group_block: int = 4,
         invalid_frac: float = 0.25,
         ovf_frac: float = 0.5,
         ovf_batch_blocks: int = 512,
