@@ -96,6 +96,12 @@ def shade(res, params: SceneParams, star_grid, dt,
                 # doesn't tile by ROW_BANDS.
                 kw["row_pitch"] = static.render_width
                 kw["row_bands"] = ROW_BANDS
+            # Compaction billing granularity: group_block 4 wins at native
+            # pixel pitch (r5 full-pipeline A/B: 34.42/34.28 vs 33.38/33.49
+            # Mrays/s @1080p; 8K 40.4 vs 39.2) but LOSES on supersampled
+            # frames whose halved angular pitch doubles the belt rows per
+            # block (default-aa 36.4 vs 38.3) — pick by workload.
+            kw["group_block"] = 8 if static.supersampling else 4
         if grouped and differentiable:
             # Hand-derived star VJP (stars/diff.py): production forward
             # schedule AND a production-schedule backward sweep — the
