@@ -82,26 +82,28 @@ def main():
             ))
         return k_loop(body)
 
-    base = timeit("4x4 production (chunk 2^17, 512/256, rb32)",
+    base = timeit("4x4 gb4 production (chunk 2^17, 512/256, rb32)",
                   stars_fn(), vel, escaped, grid)
     for name, kw in [
-        ("chunk 2^16", dict(chunk=1 << 16)),
-        ("chunk 2^18", dict(chunk=1 << 18)),
-        ("ovf_batch 128", dict(ovf_batch_blocks=128)),
-        ("ovf_batch 256", dict(ovf_batch_blocks=256)),
-        ("inv_batch 64", dict(inv_batch_blocks=64)),
-        ("inv_batch 128", dict(inv_batch_blocks=128)),
-        ("ray_block 16", dict(ray_block=16)),
-        ("ray_block 64", dict(ray_block=64)),
-        ("group_block 4", dict(group_block=4)),
-        ("group_block 16", dict(group_block=16)),
-        ("ovf128 + gb4", dict(ovf_batch_blocks=128, group_block=4)),
-        ("ovf256 + gb4", dict(ovf_batch_blocks=256, group_block=4)),
-        ("ovf128 + gb4 + inv128",
-         dict(ovf_batch_blocks=128, group_block=4, inv_batch_blocks=128)),
-        ("ovf64", dict(ovf_batch_blocks=64)),
-        ("ovf128 + gb2", dict(ovf_batch_blocks=128, group_block=2)),
+        ("chunk 2^18 (gb4)", dict(chunk=1 << 18)),
+        ("ovf_frac 0.25", dict(ovf_frac=0.25)),
+        ("invalid_frac 0.125", dict(invalid_frac=0.125)),
+        ("inv_ovf_block 8", dict(inv_ovf_block=8)),
+        ("rb32->16 (gb4)", dict(ray_block=16)),
     ]:
+        timeit(f"4x4 + {name}", stars_fn(**kw), vel, escaped, grid)
+    # deeper row bands (x4 groups) — first measurement at any gb
+    def stars_rb(p):
+        def body(i, v, a, g):
+            inten = params.stars.intensity + 1e-6 * i
+            return jnp.sum(g.lookup_grouped(
+                v, intensity=inten, saturation=params.stars.saturation,
+                active=a, row_pitch=rw, row_bands=p,
+            ))
+        return k_loop(body)
+    for p_ in (6, 8):
+        timeit(f"{p_}x4 row-bands (gb4)", stars_rb(p_), vel, escaped, grid)
+    for name, kw in []:
         timeit(f"4x4 + {name}", stars_fn(**kw), vel, escaped, grid)
     print(f"baseline {base * 1e3:.2f} ms", flush=True)
 
