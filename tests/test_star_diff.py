@@ -144,6 +144,7 @@ def test_render_level_star_grads_fd():
     star-parameter gradients match central finite differences at the
     image-loss level (the flagship training objective)."""
     import dataclasses
+    import dataclasses
     import importlib
 
     from blackstar_tpu.config import load_config
@@ -199,3 +200,47 @@ def test_render_level_star_grads_fd():
             assert abs(float(g) - fd) <= 1e-6 + 1e-4 * abs(fd), (idx, g, fd)
     finally:
         render_mod.GROUPED_MIN_RAYS = old_floor
+
+
+def test_render_schedule_group_block_by_workload(monkeypatch):
+    """The render layer bills star compaction at group_block 4 for
+    native-pitch frames and 8 for supersampled ones (the r5 measured
+    split — see render.py). Captures the kwargs actually passed to
+    lookup_grouped so a schedule regression cannot land silently."""
+    import dataclasses
+    import importlib
+
+    from blackstar_tpu.config import load_config
+    from blackstar_tpu.stars import grid as grid_mod
+
+    render_mod = importlib.import_module("blackstar_tpu.render")
+
+    cat = _random_catalog(300, seed=43)
+    grid = _grid(cat, radius=0.09, cell_size=0.03)
+
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(here, "scenes", "default.yaml"))
+
+    captured = {}
+    real = grid_mod.StarGrid.lookup_grouped
+
+    def spy(self, vel, *args, **kw):
+        captured.update(kw)
+        return real(self, vel, *args, **kw)
+
+    monkeypatch.setattr(grid_mod.StarGrid, "lookup_grouped", spy)
+    monkeypatch.setattr(render_mod, "GROUPED_MIN_RAYS", 64)
+
+    for ss, want_gb in ((False, 4), (True, 8)):
+        cfg2 = dataclasses.replace(
+            cfg, scene=dataclasses.replace(
+                cfg.scene, resolution=(64, 32), step_size=1.0,
+                supersampling=ss)
+        )
+        static = cfg2.static()
+        assert render_mod._grouped_eligible(
+            grid, static, static.render_width * static.render_height)
+        captured.clear()
+        render_mod.render(cfg2.params(), static, grid)
+        assert captured.get("group_block") == want_gb, (ss, captured)
